@@ -1,0 +1,76 @@
+"""Benchmark harness — runs the headline catalog queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is timed end-to-end (plan + execute + row materialization via
+a count-style action on the driver, no full collect of wide results).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from spark_dns_spark.session import get_session  # noqa: E402
+
+#: Headline set: the flagship change-log pipeline + the shuffle-heavy
+#: relational queries + (as they land) the north-star pipeline ops.
+HEADLINE = [
+    "changelog_latest_wins",
+    "changelog_snapshot",
+    "changelog_max_by_variant",
+    "group_by_zone",
+    "tpch_q1_pricing_summary",
+    "revenue_by_nation",
+    "top_customers_per_nation",
+    "lineitem_running_window",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh",
+    "similarity_topk_bruteforce",
+    "text_quality_score",
+    "sessionize_events",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    spark = get_session("bench")
+    # warm the JVM + parquet footers with one cheap action
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

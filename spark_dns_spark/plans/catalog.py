@@ -1,0 +1,68 @@
+"""Query catalog — the SURVEY.md §2 operator inventory as named queries.
+
+Each :class:`Query` pairs a Spark DataFrame builder with the equivalent
+ANSI SQL for the DuckDB oracle (``sql=None`` ⇒ non-SQL-expressible,
+driver records rows-only).  ``__spark_entry__.py`` exposes this catalog
+verbatim.
+
+Conventions (driver contract):
+- every computed column is aliased identically in both engines;
+- double outputs are ``round()``-ed in both engines so cross-engine
+  float summation order can't flip the value hash;
+- no ORDER BY dependence — the driver hash is order-insensitive, and
+  any top-k uses deterministic tie-breaks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_dns_spark.session import tune
+
+
+@dataclass
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None ⇒ rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str, sql: str | None, doc: str = "", tags: tuple[str, ...] = ()
+) -> Callable:
+    """Decorator: add a (spark, sf_dir) -> DataFrame builder to the catalog."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        _REGISTRY[name] = Query(name=name, fn=wrapped, sql=sql, doc=doc, tags=tags)
+        return wrapped
+
+    return deco
+
+
+def catalog() -> dict[str, Query]:
+    """All registered queries (importing the query modules as a side effect)."""
+    # Import here so module import order can't produce a half-filled registry.
+    from spark_dns_spark.plans import (  # noqa: F401
+        q_changelog,
+        q_relational,
+        q_dedup,
+        q_similarity,
+        q_text,
+        q_connector,
+    )
+
+    return dict(_REGISTRY)

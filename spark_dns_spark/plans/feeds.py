@@ -1,0 +1,94 @@
+"""Derived input feeds for the query catalog.
+
+The driver's testdata (TESTDATA.md) has no DNS tables, so the
+change-log feed the reference emits (FIXTURES.md §1) is *derived
+deterministically* from ``events`` — identically in Spark (DataFrame
+ops, below) and in the DuckDB oracle (CTE string, below).  Every
+catalog query over the feed therefore has an exact ANSI-SQL oracle.
+
+Mapping (FIXTURES.md §3): ``event_type`` → action, synthetic
+fqdn/ip from integer id columns (integer-only arithmetic — float→int
+casts round differently across engines), ``ts`` → transfer time.
+Some fqdns deliberately lack the trailing dot to exercise F6.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read ``events.parquet``, whose ``ts`` is parquet TIMESTAMP(NANOS).
+
+    Spark refuses nanosecond parquet timestamps; DuckDB truncates them
+    to microseconds at scan.  We read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to micros
+    ourselves so both engines see identical values.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(ev.dtypes).get("ts") in ("bigint", "long"):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
+def dns_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change-log feed: columns
+    ``action fqdn ip organization ts event_id user_id value`` —
+    the reference read schema (SURVEY.md §1.2) plus lineage ids."""
+    ev = load_events(spark, sf_dir)
+    action = (
+        F.when(F.col("event_type") == "error", F.lit("IXFR_DELETE"))
+        .when(F.col("event_type") == "signup", F.lit("AXFR"))
+        .otherwise(F.lit("IXFR_ADD"))
+    )
+    fqdn = F.concat(
+        F.lit("host"),
+        (F.col("event_id") % 1000).cast("string"),
+        F.lit(".zone"),
+        (F.col("user_id") % 7).cast("string"),
+        F.lit(".example"),
+        F.when(F.col("event_id") % 3 == 0, F.lit(".")).otherwise(F.lit("")),
+    )
+    ip = F.concat(
+        F.lit("10."),
+        (F.col("user_id") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("event_id") % 256).cast("string"),
+    )
+    return ev.select(
+        action.alias("action"),
+        fqdn.alias("fqdn"),
+        ip.alias("ip"),
+        F.lit("Acme Inc.").alias("organization"),
+        F.col("ts"),
+        "event_id",
+        "user_id",
+        "value",
+    )
+
+
+#: DuckDB CTE equivalent of :func:`dns_changes` — prepend to oracle SQL.
+DNS_CHANGES_CTE = """
+WITH dns_changes AS (
+  SELECT
+    CASE WHEN event_type = 'error' THEN 'IXFR_DELETE'
+         WHEN event_type = 'signup' THEN 'AXFR'
+         ELSE 'IXFR_ADD' END AS action,
+    'host' || CAST(event_id % 1000 AS VARCHAR)
+      || '.zone' || CAST(user_id % 7 AS VARCHAR)
+      || '.example'
+      || CASE WHEN event_id % 3 = 0 THEN '.' ELSE '' END AS fqdn,
+    '10.' || CAST(user_id % 256 AS VARCHAR)
+      || '.0.' || CAST(event_id % 256 AS VARCHAR) AS ip,
+    'Acme Inc.' AS organization,
+    ts,
+    event_id,
+    user_id,
+    value
+  FROM events
+)
+"""

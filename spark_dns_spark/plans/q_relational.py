@@ -1,0 +1,264 @@
+"""Relational coverage queries — joins/aggregations/windows/set-ops that
+the reference delegates to Catalyst above its scan (SURVEY.md §2.3,
+§2.4 "Not implemented" row, §2.7).  A user of the reference runs these
+over the connector's output; our engine must execute them well.
+
+Scale notes: dimension joins are explicitly ``broadcast()`` (region,
+nation, supplier, part at any SF; customer/orders at test SF are left
+to Catalyst/AQE which picks broadcast under the 10 MB default).  Aggs
+use built-in functions only → whole-stage codegen, partial map-side
+combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_dns_spark.plans.catalog import register
+from spark_dns_spark.session import load_table
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1 shape: scan-side filter pushdown + 8-agg groupBy",
+    tags=("relational", "agg", "bench"),
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_by_nation",
+    """
+SELECT n_name, r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+""",
+    doc="TPC-H Q5 shape: 5-way star join; dims broadcast, fact shuffled once",
+    tags=("relational", "join", "bench"),
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "top_customers_per_nation",
+    """
+SELECT n_name, c_name, spent, rk FROM (
+  SELECT n_name, c_name,
+         round(sum(o_totalprice), 2) AS spent,
+         ROW_NUMBER() OVER (PARTITION BY n_name
+                            ORDER BY round(sum(o_totalprice), 2) DESC,
+                                     c_name) AS rk
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name, c_name
+) WHERE rk <= 5
+""",
+    doc="top-k per group: agg then rank window, deterministic tie-break",
+    tags=("relational", "window"),
+)
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    agg = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spent"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("spent").desc(), F.col("c_name"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("n_name", "c_name", "spent", "rk")
+    )
+
+
+@register(
+    "parts_without_orders",
+    """
+SELECT p_brand, count(*) AS n_parts
+FROM part
+WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48)
+GROUP BY p_brand
+""",
+    doc="anti-join (NOT EXISTS) + agg: parts never ordered in bulk",
+    tags=("relational", "join"),
+)
+def parts_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+@register(
+    "active_suppliers_semi",
+    """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem WHERE l_quantity >= 49
+)
+""",
+    doc="semi-join (EXISTS) with pushed-down filter on the probe side",
+    tags=("relational", "join"),
+)
+def active_suppliers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return sup.join(li, sup.s_suppkey == li.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@register(
+    "order_priority_rollup",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    doc="grouping-sets rollup (Catalyst-supplied; absent in reference §2.4)",
+    tags=("relational", "agg"),
+)
+def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@register(
+    "segment_union_distinct",
+    """
+SELECT c_mktsegment AS segment FROM customer WHERE c_acctbal > 5000
+UNION
+SELECT o_orderpriority AS segment FROM orders WHERE o_totalprice > 100000
+""",
+    doc="set op: UNION DISTINCT across heterogeneous projections (§2.7)",
+    tags=("relational", "set"),
+)
+def segment_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_mktsegment").alias("segment")
+    )
+    b = orders.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_orderpriority").alias("segment")
+    )
+    return a.union(b).distinct()
+
+
+@register(
+    "lineitem_running_window",
+    """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(sum(l_quantity) OVER (
+         PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty,
+       lag(l_orderkey) OVER (
+         PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+       ) AS prev_order
+FROM lineitem
+WHERE l_suppkey <= 10
+""",
+    doc="frame-spec window (running sum) + lag — §2.5 gap in reference, "
+    "built-in here",
+    tags=("relational", "window"),
+)
+def lineitem_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 10)
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.sum("l_quantity").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_qty"),
+        F.lag("l_orderkey").over(w).alias("prev_order"),
+    )
+
+
+@register(
+    "approx_distinct_parts",
+    """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       count(DISTINCT l_suppkey) AS exact_supps
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="count-distinct per group (exact; approx_count_distinct exercised "
+    "in tests where sketches need no cross-engine oracle)",
+    tags=("relational", "agg"),
+)
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_supps"),
+    )

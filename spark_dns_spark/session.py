@@ -1,0 +1,71 @@
+"""SparkSession helpers.
+
+Local test sessions use ``local[$SPARK_GRAFT_CPUS]`` (default 32) with
+AQE on and shuffle parallelism matched to cores — at cluster scale the
+same code runs unchanged; only these session configs move to
+spark-submit conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Session-level (runtime-settable) confs every query path wants.  These
+#: are safe to re-apply on a session we did not create (the driver's):
+#: all are ``spark.sql.*`` runtime confs, not JVM-startup confs.
+RUNTIME_CONF = {
+    # Deterministic timestamps vs the DuckDB oracle (naive-UTC parquet).
+    "spark.sql.session.timeZone": "UTC",
+    # Runtime re-planning: partition coalescing, skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas-UDF path.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (idempotent).
+
+    Called at the top of every catalog query so behavior is identical
+    whether the session is ours or the driver's.
+    """
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf locked down → keep going with session defaults
+    # Shuffle parallelism ~ cores for local mode; harmless under AQE
+    # (AQE coalesces down again). On a real cluster this would be set
+    # to ~2-3x total cores via submit conf instead.
+    try:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
+    except Exception:
+        pass
+    return spark
+
+
+def get_session(app_name: str = "spark_dns_spark") -> SparkSession:
+    """Build (or fetch) a local session for tests/bench."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", cpus)
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver-generated parquet table (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -1,0 +1,121 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
+DuckDB over the same sf dir, then compares row count, column names, and
+an order-insensitive value hash (columns sorted by name, rows sorted,
+values stringified with float rounding).
+
+Usage:  python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+from datetime import datetime
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def _norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    return str(v)
+
+
+def table_hash(rows, colnames):
+    """Order-insensitive: sort columns by name, then sort row tuples."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted("\x01".join(_norm(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\x02")
+    return h.hexdigest()
+
+
+def run(sf_dir: str, only: list[str]) -> int:
+    import __spark_entry__ as entrymod
+    from spark_dns_spark.session import get_session
+
+    spark = get_session("oracle-check")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    failed = []
+    names = only or sorted(qs)
+    for name in names:
+        try:
+            sdf = qs[name](spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(srows)} rows, no oracle)")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failed.append(name)
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if not problems:
+            hs, hd = table_hash(srows, scols), table_hash(drows, dcols)
+            if hs != hd:
+                problems.append("value-hash mismatch")
+                # show a diff sample
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                set_s = {tuple(_norm(r[i]) for i in order_s) for r in srows}
+                set_d = {tuple(_norm(r[i]) for i in order_d) for r in drows}
+                for x in list(set_s - set_d)[:3]:
+                    print(f"     spark-only: {x}")
+                for x in list(set_d - set_s)[:3]:
+                    print(f"     duck-only : {x}")
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            failed.append(name)
+        else:
+            print(f"ok   {name}: {len(srows)} rows match")
+    print(f"\n{len(names) - len(failed)}/{len(names)} queries match")
+    if failed:
+        print("failed:", " ".join(failed))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and Path(args[0]).is_dir() else "/root/testdata/sf0.01"
+    only = args[1:] if args and Path(args[0]).is_dir() else args
+    sys.exit(run(sf_dir, only))
