@@ -1,1 +1,170 @@
-"""Placeholder — populated in a later milestone."""
+"""Connector queries — the ``dns`` DataSource read path as
+oracle-checked catalog entries.
+
+A zone store is provisioned deterministically from the ``dns_changes``
+feed (one serial per change, ordered by (ts, event_id) within each
+zone), so the connector's AXFR/IXFR output is exactly reproducible in
+ANSI SQL over ``events`` — giving the *connector itself* a DuckDB
+oracle, which the reference could only approximate with a live Bind9
+container (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_dns_spark.functions.dnsfn import fqdn_normalize, zone_from_fqdn
+from spark_dns_spark.plans.catalog import register
+from spark_dns_spark.plans.feeds import DNS_CHANGES_CTE, dns_changes
+
+_SCRATCH = Path(__file__).resolve().parent.parent.parent / ".scratch" / "zonestores"
+
+#: IXFR cutoff serial for the delta query — valid at every test SF
+#: (per-zone history is ≥143 changes even at sf0.001).
+IXFR_CUT = 100
+
+#: Normalized change feed with per-zone serials — shared CTE tail for
+#: the oracles below.  Serial = row_number within zone by (ts, event_id),
+#: mirroring one store serial bump per applied change.
+_NORM_CTE = """
+, norm AS (
+  SELECT action,
+         CASE WHEN lower(fqdn) LIKE '%.' THEN lower(fqdn)
+              ELSE lower(fqdn) || '.' END AS fqdn,
+         ip, ts, event_id
+  FROM dns_changes
+), zoned AS (
+  SELECT action, fqdn, ip, ts, event_id,
+         CASE WHEN z LIKE '%.' THEN z ELSE z || '.' END AS zone
+  FROM (SELECT *, regexp_replace(fqdn, '^[^.]+\\.', '') AS z FROM norm)
+), serialed AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY zone ORDER BY ts, event_id) AS serial
+  FROM zoned
+)
+"""
+
+
+def _store_root(spark: SparkSession, sf_dir: str) -> str:
+    """Provision (once per sf_dir) the zone store derived from the feed."""
+    name = Path(sf_dir).name or "sf"
+    root = _SCRATCH / name
+    marker = root / ".complete"
+
+    df = dns_changes(spark, sf_dir).select(
+        "action",
+        fqdn_normalize(F.lower(F.col("fqdn"))).alias("fqdn"),
+        "ip",
+        "ts",
+        "event_id",
+    )
+    df = df.withColumn("zone", zone_from_fqdn("fqdn"))
+    n_expected = df.count()
+    if marker.exists() and marker.read_text() == str(n_expected):
+        return str(root)
+
+    from spark_dns_spark.sources.zonestore import ZoneStore
+
+    w = Window.partitionBy("zone").orderBy("ts", "event_id")
+    rows = (
+        df.withColumn("serial", F.row_number().over(w))
+        .select("zone", "serial", "action", "fqdn", "ip")
+        .collect()  # fixture provisioning at test SF, not a query path
+    )
+    by_zone: dict[str, list] = {}
+    for r in rows:
+        by_zone.setdefault(r.zone, []).append((r.serial, r.action, r.fqdn, r.ip))
+    os.makedirs(root, exist_ok=True)
+    store = ZoneStore(str(root))
+    for zone, hist in by_zone.items():
+        hist.sort()
+        state: dict[tuple, bool] = {}
+        for _, action, fqdn, ip in hist:
+            state[(fqdn, ip)] = action in ("AXFR", "IXFR_ADD")
+        records = [k for k, alive in state.items() if alive]
+        store.create_zone(zone, records=records, serial=len(hist), history=hist)
+    marker.write_text(str(n_expected))
+    return str(root)
+
+
+def _dns_reader(spark: SparkSession, root: str, **opts):
+    from spark_dns_spark.sources import register_all
+
+    register_all(spark)
+    reader = spark.read.format("dns").option("store", root).option(
+        "organization", "Acme Inc."
+    )
+    for k, v in opts.items():
+        reader = reader.option(k.replace("_", "-"), str(v))
+    return reader.load()
+
+
+@register(
+    "dns_axfr_read",
+    DNS_CHANGES_CTE
+    + _NORM_CTE
+    + """
+SELECT 'AXFR' AS action, fqdn, ip, 'Acme Inc.' AS organization, zone FROM (
+  SELECT fqdn, ip, zone, action AS last_action,
+         ROW_NUMBER() OVER (PARTITION BY zone, fqdn, ip
+                            ORDER BY serial DESC) AS rn
+  FROM serialed
+) WHERE rn = 1 AND last_action IN ('AXFR', 'IXFR_ADD')
+""",
+    doc="S1-S4: full AXFR snapshot read through the dns DataSource equals "
+    "the change-log's materialized state",
+    tags=("connector",),
+)
+def dns_axfr_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _store_root(spark, sf_dir)
+    df = _dns_reader(spark, root, xfr="axfr")
+    return df.select("action", "fqdn", "ip", "organization", "zone")
+
+
+@register(
+    "dns_ixfr_delta_read",
+    DNS_CHANGES_CTE
+    + _NORM_CTE
+    + f"""
+SELECT action, fqdn, ip, zone, count(*) AS n
+FROM serialed
+WHERE serial > {IXFR_CUT}
+GROUP BY action, fqdn, ip, zone
+""",
+    doc="S5/S6: IXFR delta read from a fixed serial returns exactly the "
+    "per-zone change-log tail",
+    tags=("connector",),
+)
+def dns_ixfr_delta_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _store_root(spark, sf_dir)
+    df = _dns_reader(spark, root, xfr="ixfr", serial=IXFR_CUT)
+    return df.groupBy("action", "fqdn", "ip", "zone").agg(F.count("*").alias("n"))
+
+
+@register(
+    "dns_read_zone_pushdown",
+    DNS_CHANGES_CTE
+    + _NORM_CTE
+    + """
+SELECT 'AXFR' AS action, fqdn, ip, zone FROM (
+  SELECT fqdn, ip, zone, action AS last_action,
+         ROW_NUMBER() OVER (PARTITION BY zone, fqdn, ip
+                            ORDER BY serial DESC) AS rn
+  FROM serialed
+  WHERE zone = 'zone3.example.'
+) WHERE rn = 1 AND last_action IN ('AXFR', 'IXFR_ADD')
+""",
+    doc="zone-filter pushdown: EqualTo('zone') prunes partitions inside "
+    "the Python reader before any transfer (beyond-reference, SURVEY §4)",
+    tags=("connector", "pushdown"),
+)
+def dns_read_zone_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _store_root(spark, sf_dir)
+    df = _dns_reader(spark, root, xfr="axfr")
+    return df.filter(F.col("zone") == "zone3.example.").select(
+        "action", "fqdn", "ip", "zone"
+    )

@@ -24,6 +24,9 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas-UDF path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Allow Python DataSource filter pushdown (zone pruning in the
+    # `dns` source reader).
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

@@ -1,0 +1,180 @@
+"""Connector read tests — replicate the reference's integration matrix
+(src/test/.../read/DnsSourceRelationProviderTest.java:86-241) against
+the in-process zone store instead of a Bind9 container (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_dns_spark.sources import register_all
+from spark_dns_spark.sources.zonestore import ZoneStore
+
+
+@pytest.fixture()
+def store(tmp_path):
+    """Two zones mirroring the Bind9 fixtures: example.acme (3 records),
+    another.zone (5 records) — db.example.acme:1-12, db.another.zone:1-14."""
+    s = ZoneStore(str(tmp_path / "zones"))
+    s.create_zone(
+        "example.acme.",
+        records=[
+            ("workstation1.example.acme.", "192.168.1.1"),
+            ("workstation2.example.acme.", "192.168.1.2"),
+            ("server1.example.acme.", "192.168.1.10"),
+        ],
+        serial=1,
+    )
+    s.create_zone(
+        "another.zone.",
+        records=[(f"host{i}.another.zone.", f"10.0.0.{i}") for i in range(1, 6)],
+        serial=1,
+    )
+    return s
+
+
+def _read(spark, store, **opts):
+    register_all(spark)
+    reader = spark.read.format("dns").option("store", store.root)
+    for k, v in opts.items():
+        reader = reader.option(k.replace("_", "-"), str(v))
+    return reader.load()
+
+
+def test_batch_axfr_read(spark, store):
+    df = _read(spark, store, zones="example.acme.,another.zone.", xfr="axfr",
+               organization="Acme Inc.")
+    assert df.columns == ["action", "fqdn", "ip", "organization", "timestamp", "zone"]
+    rows = df.collect()
+    assert len(rows) == 8
+    assert {r.action for r in rows} == {"AXFR"}
+    assert {r.organization for r in rows} == {"Acme Inc."}
+    by_zone = {r.zone for r in rows}
+    assert by_zone == {"example.acme.", "another.zone."}
+    # per-zone constant timestamp (DnsZoneRDD.java:94)
+    assert len({r.timestamp for r in rows}) == 1
+
+
+def test_zones_default_to_all_served(spark, store):
+    assert _read(spark, store, xfr="axfr").count() == 8
+
+
+def test_ixfr_serial0_is_full_snapshot(spark, store):
+    df = _read(spark, store, zones="example.acme.", xfr="ixfr", serial=0)
+    assert df.count() == 3  # Xfr.java:42-49: serial 0 ⇒ AXFR interpretation
+
+
+def test_ixfr_delta_only(spark, store):
+    store.apply_update(
+        "example.acme.",
+        [("IXFR_ADD", "new1.example.acme.", "192.168.1.50"),
+         ("IXFR_DELETE", "workstation1.example.acme.", "192.168.1.1")],
+    )
+    df = _read(spark, store, zones="example.acme.", xfr="ixfr", serial=1)
+    rows = {(r.action, r.fqdn, r.ip) for r in df.collect()}
+    assert rows == {
+        ("IXFR_ADD", "new1.example.acme.", "192.168.1.50"),
+        ("IXFR_DELETE", "workstation1.example.acme.", "192.168.1.1"),
+    }
+
+
+def test_ixfr_ancient_serial_falls_back_to_axfr(spark, store):
+    """Requested-IXFR-answered-AXFR: we interpret by the answer (SURVEY.md
+    §7.3), so a serial below retained history yields the snapshot, not
+    the reference's silent zero rows."""
+    store.apply_update("example.acme.", [("IXFR_ADD", "x.example.acme.", "1.1.1.1")])
+    s2 = ZoneStore(store.root)
+    # serial=1 has history (serial 2 entries); drop history to force fallback
+    d = s2._load("example.acme.")
+    d["history"] = []
+    s2._write_atomic("example.acme.", d)
+    df = _read(spark, store, zones="example.acme.", xfr="ixfr", serial=1)
+    assert {r.action for r in df.collect()} == {"AXFR"}
+    assert df.count() == 4
+
+
+def test_unreachable_zone_fails(spark, store):
+    df = _read(spark, store, zones="nonexistent.zone.", xfr="axfr")
+    with pytest.raises(Exception, match="zone not served"):
+        df.collect()
+
+
+def test_unreachable_zone_ignore_failures_empty(spark, store):
+    # T7: suppress ⇒ empty partition (DnsZoneRDD.java:82-92)
+    df = _read(spark, store, zones="nonexistent.zone.", xfr="axfr",
+               ignore_failures="true")
+    assert df.count() == 0
+
+
+def test_fail_zones_injection_matrix(spark, store):
+    df = _read(spark, store, zones="example.acme.,another.zone.",
+               xfr="axfr", fail_zones="example.acme.")
+    with pytest.raises(Exception, match="simulated transfer failure"):
+        df.collect()
+    df2 = _read(spark, store, zones="example.acme.,another.zone.",
+                xfr="axfr", fail_zones="example.acme.", ignore_failures="true")
+    assert df2.count() == 5  # failing zone suppressed, healthy zone intact
+
+
+def test_sql_view_using_dns(spark, store):
+    # S2 SQL variant (DnsSourceRelationProviderTest SQL tests).  Note:
+    # Spark 4.1 forwards OPTIONS to Python data sources for
+    # `CREATE TEMPORARY VIEW ... USING` but not `CREATE TABLE ... USING`,
+    # so the SQL surface is the temp-view form.
+    register_all(spark)
+    spark.sql(
+        f"""CREATE OR REPLACE TEMPORARY VIEW dns_tbl USING dns
+            OPTIONS (store '{store.root}', zones 'example.acme.', xfr 'axfr')"""
+    )
+    assert spark.sql("SELECT fqdn, ip FROM dns_tbl").count() == 3
+    assert spark.sql(
+        "SELECT count(*) AS n FROM dns_tbl WHERE zone = 'example.acme.'"
+    ).collect()[0].n == 3
+
+
+def test_user_schema_is_rejected(spark, store):
+    # DnsSourceRelationProvider.java:51-53 silently ignores user schemas;
+    # the Python DataSource API honors them, so ours rejects loudly —
+    # a documented deviation (silent-ignore is impossible here).
+    register_all(spark)
+    with pytest.raises(Exception, match="fixed schema"):
+        (
+            spark.read.format("dns")
+            .schema("a string, b string")
+            .option("store", store.root)
+            .option("zones", "example.acme.")
+            .option("xfr", "axfr")
+            .load()
+            .collect()
+        )
+
+
+def test_zone_filter_pushdown_prunes_partitions(spark, store):
+    # beyond-reference: EqualTo('zone') prunes before any transfer; a
+    # poisoned other-zone proves it never ran
+    df = _read(spark, store, zones="example.acme.,another.zone.",
+               xfr="axfr", fail_zones="another.zone.")
+    good = df.filter(df.zone == "example.acme.")
+    assert good.count() == 3  # would raise if another.zone. were scanned
+
+
+def test_option_validation_errors(spark, store):
+    from spark_dns_spark.sources.options import DnsSourceOptions, OptionError
+
+    with pytest.raises(OptionError):
+        DnsSourceOptions.parse({})
+    with pytest.raises(OptionError):
+        DnsSourceOptions.parse({"store": "/x", "port": "0"})
+    with pytest.raises(OptionError):
+        DnsSourceOptions.parse({"store": "/x", "port": "131071"})
+    assert DnsSourceOptions.parse({"store": "/x", "port": "131070"}).port == 131070
+    with pytest.raises(OptionError):
+        DnsSourceOptions.parse({"store": "/x", "xfr": "bogus"})
+    with pytest.raises(OptionError):
+        DnsSourceOptions.parse({"store": "/x", "serial": "-1"})
+    # case-insensitive xfr + zone CSV dedup (P5)
+    o = DnsSourceOptions.parse({"store": "/x", "xfr": "AXFR",
+                                "zones": "a., b. ,a.,c."})
+    assert o.xfr == "axfr" and o.zones == ["a.", "b.", "c."]
+    # ignore-failures effective default false (quirk, SURVEY §2.8)
+    assert DnsSourceOptions.parse({"store": "/x"}).ignore_failures is False

@@ -1,0 +1,203 @@
+"""Streaming source tests — replicate the reference's streaming matrix
+(DnsSourceRelationProviderTest.java:138-147, 203-226): Trigger.Once
+style runs, resume from checkpoint, and the exactly-once assertion
+(groupBy(action,fqdn,ip,organization,zone).count() all == 1 across a
+run → update → resume sequence).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from spark_dns_spark.sources import register_all
+from spark_dns_spark.sources.dns_source import ProgressLog
+from spark_dns_spark.sources.zonestore import ZoneStore
+
+
+@pytest.fixture()
+def store(tmp_path):
+    s = ZoneStore(str(tmp_path / "zones"))
+    s.create_zone(
+        "example.acme.",
+        records=[
+            ("workstation1.example.acme.", "192.168.1.1"),
+            ("workstation2.example.acme.", "192.168.1.2"),
+            ("server1.example.acme.", "192.168.1.10"),
+        ],
+        serial=1,
+        history=[
+            (1, "IXFR_ADD", "workstation1.example.acme.", "192.168.1.1"),
+            (1, "IXFR_ADD", "workstation2.example.acme.", "192.168.1.2"),
+            (1, "IXFR_ADD", "server1.example.acme.", "192.168.1.10"),
+        ],
+    )
+    return s
+
+
+def _run_once(spark, store, out_dir, ckpt):
+    register_all(spark)
+    stream = (
+        spark.readStream.format("dns")
+        .option("store", store.root)
+        .option("zones", "example.acme.")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_read_then_resume_exactly_once(spark, store, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # run 1: full history from serial 0
+    _run_once(spark, store, out, ckpt)
+    df1 = spark.read.parquet(out)
+    assert df1.count() == 3
+    assert set(df1.columns) == {"action", "fqdn", "ip", "organization",
+                                "timestamp", "zone"}
+
+    # mutate the zone between runs (the reference updates Bind between runs)
+    store.apply_update(
+        "example.acme.",
+        [("IXFR_ADD", "new1.example.acme.", "192.168.1.50"),
+         ("IXFR_DELETE", "workstation1.example.acme.", "192.168.1.1")],
+    )
+
+    # run 2: resume from checkpoint — must read ONLY the delta
+    _run_once(spark, store, out, ckpt)
+    df2 = spark.read.parquet(out)
+    assert df2.count() == 5
+
+    # exactly-once: no duplicated record across both runs
+    # (DnsSourceRelationProviderTest.java:214-225)
+    counts = (
+        df2.groupBy("action", "fqdn", "ip", "organization", "zone")
+        .count()
+        .select("count")
+        .distinct()
+        .collect()
+    )
+    assert [r["count"] for r in counts] == [1]
+
+    # run 3: nothing changed — empty micro-batch, no new rows
+    # (README.md:198-199: empty batches expected when IXFR has no delta)
+    _run_once(spark, store, out, ckpt)
+    assert spark.read.parquet(out).count() == 5
+
+
+def test_stream_sees_only_delta_not_snapshot(spark, store, tmp_path):
+    """After checkpointed serial 1, an update must stream as IXFR rows,
+    not a re-snapshot."""
+    out, ckpt = str(tmp_path / "o2"), str(tmp_path / "c2")
+    _run_once(spark, store, out, ckpt)
+    store.apply_update(
+        "example.acme.", [("IXFR_ADD", "d1.example.acme.", "10.1.1.1")]
+    )
+    _run_once(spark, store, out, ckpt)
+    new_rows = (
+        spark.read.parquet(out).filter(F.col("fqdn") == "d1.example.acme.").collect()
+    )
+    assert len(new_rows) == 1 and new_rows[0].action == "IXFR_ADD"
+
+
+def test_progress_log_commit_and_retention(tmp_path):
+    # O2/O3 parity: newest max-kept-commits files kept, ids increase
+    log = ProgressLog(str(tmp_path / "progress"), max_kept=3)
+    assert log.latest() is None
+    for i in range(5):
+        log.commit({"example.acme.": i + 1})
+    assert log.latest() == {"example.acme.": 5}
+    assert log._ids() == [2, 3, 4]  # 0 and 1 retired
+
+
+def test_progress_written_on_commit(spark, store, tmp_path):
+    """Spark calls source.commit(batch N) when batch N+1 starts — the
+    very offsets-mark-start-of-read subtlety the reference built its
+    own progress files for (ProgressSerDe.java:18-21).  So the progress
+    log holds batch N's serials after a second batch runs."""
+    import time
+
+    out, ckpt = str(tmp_path / "o3"), str(tmp_path / "c3")
+    progress_dir = str(tmp_path / "prog")
+    register_all(spark)
+    stream = (
+        spark.readStream.format("dns")
+        .option("store", store.root)
+        .option("zones", "example.acme.")
+        .option("progress-dir", progress_dir)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    def _out_count() -> int:
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0  # nothing written yet
+
+    try:
+        deadline = time.monotonic() + 60
+        while _out_count() < 3 and time.monotonic() < deadline:
+            time.sleep(1)
+        store.apply_update(
+            "example.acme.", [("IXFR_ADD", "c1.example.acme.", "10.2.2.2")]
+        )
+        log = ProgressLog(progress_dir, 10)
+        while log.latest() is None and time.monotonic() < deadline:
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert ProgressLog(progress_dir, 10).latest() == {"example.acme.": 1}
+
+
+def test_stream_zone_added_midstream(spark, store, tmp_path):
+    """A zone appearing in the store after the stream starts is read
+    from serial 0 (T2: new zones enter; removed zones warn+skip)."""
+    out, ckpt = str(tmp_path / "o4"), str(tmp_path / "c4")
+    register_all(spark)
+    # no zones option ⇒ all served zones, re-listed per batch
+    stream = spark.readStream.format("dns").option("store", store.root).load()
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 3
+
+    store.create_zone(
+        "late.zone.",
+        records=[("a.late.zone.", "7.7.7.7")],
+        serial=1,
+        history=[(1, "IXFR_ADD", "a.late.zone.", "7.7.7.7")],
+    )
+    q = (
+        spark.readStream.format("dns")
+        .option("store", store.root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 4
+    assert got.filter(F.col("zone") == "late.zone.").count() == 1
