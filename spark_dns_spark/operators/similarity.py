@@ -1,0 +1,141 @@
+"""Vector-similarity operators over ``array<float>`` embedding columns.
+
+Three search tiers, in order of cost at 100 TB:
+
+1. **Brute force** (:func:`cosine` + window top-k) — exact baseline;
+   |Q|x|C| cosines.  Correct answer, quadratic cost: the query side must
+   be broadcast-small.
+2. **Hyperplane LSH** (:func:`band_signatures`) — random-hyperplane
+   sign bits bucketed into bands; candidates share >=1 band.  One
+   shuffle on (band_idx, band_key); never all-pairs.  The 100 TB path
+   for near-dup pairs.
+3. **IVF** (:func:`label_centroids`, :func:`assign_cells`) — coarse
+   quantizer cells (centroid argmin); queries probe the nearest
+   ``nprobe`` cells only.  The 100 TB path for top-k search: corpus is
+   pre-partitioned by cell, so a query touches nprobe/ncells of the
+   data.
+
+All math stays in Catalyst higher-order array functions (``zip_with`` /
+``aggregate``) in index order, double precision — bit-reproducible in
+the DuckDB oracle (``list_transform(generate_series(...))`` +
+``list_aggregate 'sum'``).  No UDFs, no Python in the hot path.
+
+Hyperplanes are deterministic ±1 sign patterns derived from md5 at
+plan-build time (:func:`sign_planes`) — both engines consume the same
+literal pattern, so signatures match bit-for-bit and reruns/backfills
+are idempotent.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DIM = 64  # embeddings.embedding dimension (TESTDATA.md)
+
+
+# ---------------------------------------------------------------- dense math
+def dot(a: Column, b: Column) -> Column:
+    """Index-order fold dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def dot_sql(a: str, b: str) -> str:
+    """DuckDB rendering of :func:`dot` (same index order, same fold)."""
+    return (
+        f"list_aggregate(list_transform(generate_series(1, len({a})), "
+        f"i -> {a}[i]*{b}[i]), 'sum')"
+    )
+
+
+def dist2_sql(a: str, b: str) -> str:
+    """DuckDB squared L2 distance, same elementwise form as the Spark
+    ``zip_with((x-y)*(x-y))`` fold."""
+    return (
+        f"list_aggregate(list_transform(generate_series(1, len({a})), "
+        f"i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])), 'sum')"
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def norm_sql(a: str) -> str:
+    return f"sqrt({dot_sql(a, a)})"
+
+
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine given precomputed norms (compute norms once per row, not
+    once per pair — at 100 TB the norm column is the cheap part)."""
+    return dot(a, b) / (na * nb)
+
+
+# ---------------------------------------------------------------- LSH planes
+def sign_planes(num_planes: int, dim: int = DIM, seed: str = "hyperplane-v1") -> list[str]:
+    """Deterministic ±1 hyperplanes as '+'/'-' strings of length ``dim``.
+
+    Derived from md5 so any engine/language regenerates the identical
+    planes; the pattern string is embedded as a literal in both the
+    Spark plan and the oracle SQL.
+    """
+    planes = []
+    for k in range(num_planes):
+        bits = []
+        for i in range(dim):
+            b = hashlib.md5(f"{seed}|{k}|{i}".encode()).digest()[0] & 1
+            bits.append("+" if b else "-")
+        planes.append("".join(bits))
+    return planes
+
+
+def _plane_dot(v: Column, pattern: str) -> Column:
+    """dot(v, ±1 plane): multiply by exact ±1.0 literals, index-order sum."""
+    signs = F.array(*[F.lit(1.0 if c == "+" else -1.0) for c in pattern])
+    return dot(v, signs)
+
+
+def _plane_dot_sql(v: str, pattern: str) -> str:
+    return (
+        f"list_aggregate(list_transform(generate_series(1, len({v})), "
+        f"i -> CASE WHEN substr('{pattern}', i, 1) = '+' THEN {v}[i] "
+        f"ELSE -{v}[i] END), 'sum')"
+    )
+
+
+def band_signatures(
+    v: Column, planes: list[str], rows_per_band: int
+) -> list[Column]:
+    """One band-key string column per band: ``'<band>:<sign bits>'``.
+
+    Sign bit = (v . plane) > 0; ties (==0) resolve to 0 in both engines.
+    """
+    out = []
+    for b in range(0, len(planes), rows_per_band):
+        bits = [
+            F.when(_plane_dot(v, planes[b + r]) > 0, F.lit("1")).otherwise("0")
+            for r in range(rows_per_band)
+        ]
+        key = F.concat_ws("", F.lit(f"{b // rows_per_band}:"), *bits)
+        out.append(key.alias(f"band{b // rows_per_band}"))
+    return out
+
+
+def band_signatures_sql(
+    v: str, planes: list[str], rows_per_band: int
+) -> list[str]:
+    out = []
+    for b in range(0, len(planes), rows_per_band):
+        bits = " || ".join(
+            f"CASE WHEN {_plane_dot_sql(v, planes[b + r])} > 0 "
+            f"THEN '1' ELSE '0' END"
+            for r in range(rows_per_band)
+        )
+        out.append(f"'{b // rows_per_band}:' || {bits} AS band{b // rows_per_band}")
+    return out

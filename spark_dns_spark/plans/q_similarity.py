@@ -1,1 +1,339 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search queries over ``embeddings`` — brute-force cosine
+top-k (exact baseline), hyperplane-LSH and IVF variants (the 100 TB
+scale paths), and embedding-cosine near-dup pairs.  Every query has a
+bit-exact DuckDB oracle (SURVEY.md build-plan M5).
+
+Scale notes (the point of the three tiers):
+- brute force is |Q|x|C|; correct only when Q is broadcast-small.
+- LSH shuffles once on band keys; candidate count ~ bucket collisions,
+  never |C|^2.
+- IVF touches nprobe/ncells of the corpus per query; the cell column is
+  the natural partition/bucket key for a 100 TB corpus layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_dns_spark.operators import similarity as sim
+from spark_dns_spark.plans.catalog import register
+from spark_dns_spark.session import load_table
+
+K = 10  #: neighbors per query
+QMOD = 50  #: query set = vec_id % QMOD == 0 (10/20/40 queries at sf0.001/.01/.1)
+NUM_PLANES = 32
+ROWS_PER_BAND = 4  #: 8 bands x 4 bits; ~75% recall at cosine ~0.4
+NUM_BANDS = NUM_PLANES // ROWS_PER_BAND
+NPROBE = 3  #: IVF cells probed per query (of 10)
+COS_T = 0.4  #: near-dup threshold (max pairwise cosine in testdata ~0.48)
+
+PLANES = sim.sign_planes(NUM_PLANES)
+
+#: Shared DuckDB CTE: float[] -> double[] plus precomputed norm.
+_BASE_CTE = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, {sim.norm_sql("v")} AS nm FROM e
+)
+"""
+
+_SIG_CTE = (
+    _BASE_CTE
+    + f"""
+, sig AS (
+  SELECT vec_id, {", ".join(sim.band_signatures_sql("v", PLANES, ROWS_PER_BAND))}
+  FROM n
+), sx AS (
+  SELECT vec_id,
+         unnest([{", ".join(f"band{b}" for b in range(NUM_BANDS))}]) AS band_key
+  FROM sig
+)
+"""
+)
+
+
+def _scored_topk_sql(cand_cte: str) -> str:
+    """Rank candidate (query_id, neighbor_id) pairs by exact cosine."""
+    return (
+        cand_cte
+        + f"""
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM (
+    SELECT query_id, neighbor_id,
+           round({sim.dot_sql("q.v", "c.v")} / (q.nm * c.nm), 4) AS cosine
+    FROM cand JOIN n q ON q.vec_id = cand.query_id
+              JOIN n c ON c.vec_id = cand.neighbor_id
+  )
+) WHERE rank <= {K}
+"""
+    )
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return e.withColumn("nm", sim.norm(F.col("v")))
+
+
+def _scored_topk(n: DataFrame, cand: DataFrame) -> DataFrame:
+    """Spark mirror of :func:`_scored_topk_sql` — cosine is computed only
+    on candidate pairs; norms come precomputed from ``n``."""
+    q = n.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nm").alias("qn"),
+    )
+    c = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nm").alias("cn"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                sim.cosine_with_norms(
+                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                ),
+                4,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+@register(
+    "similarity_topk_bruteforce",
+    _BASE_CTE
+    + f"""
+, cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id % {QMOD} = 0
+)
+"""
+    + _scored_topk_sql(""),
+    doc=f"exact ANN baseline: brute-force cosine top-{K} for a broadcast "
+    "query set — |Q|x|C| pairs, the correctness reference for LSH/IVF",
+    tags=("similarity", "bench"),
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _vectors(spark, sf_dir)
+    q = n.filter(F.col("vec_id") % QMOD == 0).select(
+        F.col("vec_id").alias("query_id")
+    )
+    c = n.select(F.col("vec_id").alias("neighbor_id"))
+    cand = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    )
+    return _scored_topk(n, cand)
+
+
+@register(
+    "similarity_topk_lsh",
+    _SIG_CTE
+    + f"""
+, cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sx q JOIN sx c ON c.band_key = q.band_key AND c.vec_id <> q.vec_id
+  WHERE q.vec_id % {QMOD} = 0
+)
+"""
+    + _scored_topk_sql(""),
+    doc=f"LSH ANN: {NUM_BANDS} bands x {ROWS_PER_BAND} hyperplane sign "
+    "bits; candidates share >=1 band bucket; exact cosine re-rank. "
+    "One shuffle on band keys — the near-dup scale path",
+    tags=("similarity", "lsh", "bench"),
+)
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _vectors(spark, sf_dir)
+    sig = n.select(
+        "vec_id", *sim.band_signatures(F.col("v"), PLANES, ROWS_PER_BAND)
+    )
+    sx = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(*[F.col(f"band{b}") for b in range(NUM_BANDS)])
+        ).alias("band_key"),
+    )
+    cand = (
+        sx.filter(F.col("vec_id") % QMOD == 0)
+        .select(F.col("vec_id").alias("query_id"), "band_key")
+        .join(
+            sx.select(F.col("vec_id").alias("neighbor_id"), "band_key"),
+            "band_key",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    return _scored_topk(n, cand)
+
+
+#: IVF quantizer: per-label centroid (rounded to 6dp in BOTH engines so
+#: float-summation-order noise can't flip a cell assignment).
+_IVF_CTE = (
+    _BASE_CTE
+    + f"""
+, cf AS (
+  SELECT label, i, round(avg(v[i]), 6) AS c
+  FROM e, (SELECT unnest(generate_series(1, {sim.DIM})) AS i)
+  GROUP BY label, i
+), cent AS (
+  SELECT label, list(c ORDER BY i) AS cv FROM cf GROUP BY label
+), asg AS (
+  SELECT vec_id, label AS cell FROM (
+    SELECT n.vec_id, cent.label,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY {sim.dist2_sql("v", "cv")} ASC,
+                      cent.label) AS rn
+    FROM n, cent
+  ) WHERE rn = 1
+)
+"""
+)
+
+
+def _dist2(v, cv):
+    return F.aggregate(
+        F.zip_with(v, cv, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@register(
+    "similarity_topk_ivf",
+    _IVF_CTE
+    + f"""
+, probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, cent.label AS cell,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {sim.dist2_sql("v", "cv")} ASC,
+                      cent.label) AS rn
+    FROM (SELECT * FROM n WHERE vec_id % {QMOD} = 0) q, cent
+  ) WHERE rn <= {NPROBE}
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.query_id
+)
+"""
+    + _scored_topk_sql(""),
+    doc=f"IVF ANN: coarse cells = per-label centroids (argmin L2), "
+    f"queries probe {NPROBE}/10 cells; at 100 TB the cell is the "
+    "partition key so a query scans 30% of the corpus, not 100%",
+    tags=("similarity", "ivf"),
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = e.withColumn("nm", sim.norm(F.col("v"))).drop("label")
+    cf = (
+        e.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+    cent = cf.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("label"))
+    asg = (
+        n.crossJoin(F.broadcast(cent))
+        .withColumn("d2", _dist2(F.col("v"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("label").alias("cell"))
+    )
+    probes = (
+        n.filter(F.col("vec_id") % QMOD == 0)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("d2", _dist2(F.col("v"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= NPROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("label").alias("cell"))
+    )
+    cand = probes.join(
+        asg.select(F.col("vec_id").alias("neighbor_id"), "cell"), "cell"
+    ).filter(F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id", "neighbor_id"
+    )
+    return _scored_topk(n, cand)
+
+
+@register(
+    "dedup_embedding_cosine",
+    _SIG_CTE
+    + f"""
+, cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sx a JOIN sx b ON b.band_key = a.band_key AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT id_a, id_b,
+         round({sim.dot_sql("a.v", "b.v")} / (a.nm * b.nm), 4) AS cosine
+  FROM cand JOIN n a ON a.vec_id = id_a
+            JOIN n b ON b.vec_id = id_b
+) WHERE cosine >= {COS_T}
+""",
+    doc=f"embedding-cosine near-dup pairs (cosine >= {COS_T}) via "
+    "hyperplane-LSH buckets — never all-pairs; completes the dedup "
+    "suite's embedding tier",
+    tags=("dedup", "similarity", "lsh"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _vectors(spark, sf_dir)
+    sig = n.select(
+        "vec_id", *sim.band_signatures(F.col("v"), PLANES, ROWS_PER_BAND)
+    )
+    sx = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(*[F.col(f"band{b}") for b in range(NUM_BANDS)])
+        ).alias("band_key"),
+    )
+    cand = (
+        sx.alias("a")
+        .join(
+            sx.alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    a = n.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nm").alias("na"))
+    b = n.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nm").alias("nb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                sim.cosine_with_norms(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ),
+                4,
+            ),
+        )
+        .filter(F.col("cosine") >= COS_T)
+        .select("id_a", "id_b", "cosine")
+    )
