@@ -62,6 +62,7 @@ def catalog() -> dict[str, Query]:
         q_dedup,
         q_similarity,
         q_text,
+        q_sessions,
         q_connector,
     )
 
