@@ -75,3 +75,16 @@ def portable_hash60(c: Column | str) -> Column:
 def portable_hash60_sql(expr: str) -> str:
     """DuckDB-side rendering of :func:`portable_hash60` for oracles."""
     return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def portable_hash32(c: Column | str) -> Column:
+    """32-bit variant of :func:`portable_hash60` (first 8 hex chars of
+    md5).  Small enough that ``h * a + b`` with 31-bit multipliers stays
+    inside int64 — the base hash for affine-reseeded MinHash, where one
+    md5 feeds all K hash functions instead of K md5 passes."""
+    return F.conv(F.substring(F.md5(_col(c)), 1, 8), 16, 10).cast("long")
+
+
+def portable_hash32_sql(expr: str) -> str:
+    """DuckDB-side rendering of :func:`portable_hash32` for oracles."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"

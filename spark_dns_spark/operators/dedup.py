@@ -29,14 +29,20 @@ from pyspark.sql import functions as F
 from spark_dns_spark.functions.dnsfn import portable_hash60
 
 
-def word_shingles(col: Column | str, n: int = 5) -> Column:
-    """Word n-gram shingles of a whitespace-tokenized text column.
+def word_shingles(tokens: Column | str, n: int = 5) -> Column:
+    """Word n-gram shingles over an already-materialized token-array
+    column (``F.split(text, ' ').alias('t')`` in a prior projection).
 
     Map-only (no explode): a per-row array built with higher-order
     functions; docs shorter than ``n`` tokens get an empty array.
+
+    The input MUST be a plain column reference, not an inline
+    ``F.split(...)`` expression: higher-order functions are interpreted
+    (not codegen'd), so an inline split would be re-evaluated on every
+    ``element_at`` call — O(tokens × n) split passes per row.  Same
+    contract as :func:`word_shingles_sql`'s ``toks_expr``.
     """
-    c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(c, " ")
+    toks = F.col(tokens) if isinstance(tokens, str) else tokens
     k = F.size(toks) - (n - 1)  # number of shingles
     gen = F.transform(
         F.sequence(F.lit(1), k),
@@ -78,30 +84,59 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
-def minhash_signature(
-    shingles: Column, num_hashes: int = 12
-) -> list[Column]:
-    """K min-hash values over a shingle array — map-only (array_min of a
-    transform), no explode, no shuffle.  Empty shingle arrays yield
-    nulls; filter those docs out before LSH."""
-    # NB: the per-seed lambda must take exactly ONE parameter —
-    # F.transform treats a two-parameter lambda (incl. a default like
-    # `k=k`) as the (element, index) form and passes the array index.
-    def _seeded(k: int):
-        return lambda s: portable_hash60(F.concat(F.lit(f"{k}|"), s))
+#: Affine-reseeding modulus — smallest prime above 2^32.  Base hashes
+#: are 32-bit and multipliers are < 2^30, so ``h*a + b`` peaks around
+#: 2.3e18 < int64 max in both engines (DuckDB raises on overflow).
+MINHASH_P = 4_294_967_311
+
+
+def _affine_consts(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_k, b_k) per hash function, md5-derived so both
+    engines bake the same literals; a_k is odd and < 2^29."""
+    import hashlib
 
     out = []
     for k in range(num_hashes):
-        out.append(F.array_min(F.transform(shingles, _seeded(k))).alias(f"mh{k}"))
+        a = (int(hashlib.md5(f"a{k}".encode()).hexdigest()[:7], 16) * 2 + 1)
+        b = int(hashlib.md5(f"b{k}".encode()).hexdigest()[:8], 16) % MINHASH_P
+        out.append((a, b))
     return out
 
 
-def minhash_signature_sql(shingles_expr: str, num_hashes: int = 12) -> list[str]:
+def shingle_hashes(shingles: Column) -> Column:
+    """Distinct 32-bit hashes of a shingle array — ONE md5 per shingle;
+    the K minhash functions are affine reseeds of this value
+    (:func:`minhash_signature`).  Also the Jaccard-verification set:
+    Jaccard over identical hashes equals Jaccard over shingles up to
+    32-bit collisions, and both engines hash identically so the
+    comparison is still bit-exact."""
+    from spark_dns_spark.functions.dnsfn import portable_hash32
+
+    return F.array_distinct(F.transform(shingles, portable_hash32))
+
+
+def minhash_signature(hashes: Column, num_hashes: int = 12) -> list[Column]:
+    """K min-hash values via affine reseeding of precomputed 32-bit
+    shingle hashes: ``min((h*a_k + b_k) mod P)``.  Map-only — no
+    explode, no shuffle, and K× cheaper than K independent md5 passes
+    (the md5 runs once, in :func:`shingle_hashes`)."""
+    # NB: the per-seed lambda must take exactly ONE parameter —
+    # F.transform treats a two-parameter lambda (incl. a default like
+    # `k=k`) as the (element, index) form and passes the array index.
+    def _seeded(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+
+    out = []
+    for k, (a, b) in enumerate(_affine_consts(num_hashes)):
+        out.append(F.array_min(F.transform(hashes, _seeded(a, b))).alias(f"mh{k}"))
+    return out
+
+
+def minhash_signature_sql(hashes_expr: str, num_hashes: int = 12) -> list[str]:
     return [
-        "list_aggregate(list_transform("
-        f"{shingles_expr}, s -> CAST('0x' || substr(md5('{k}|' || s), 1, 15)"
-        f" AS BIGINT)), 'min') AS mh{k}"
-        for k in range(num_hashes)
+        f"list_aggregate(list_transform({hashes_expr}, "
+        f"h -> (h * {a} + {b}) % {MINHASH_P}), 'min') AS mh{k}"
+        for k, (a, b) in enumerate(_affine_consts(num_hashes))
     ]
 
 

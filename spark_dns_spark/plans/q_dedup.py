@@ -8,10 +8,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_dns_spark.functions.dnsfn import portable_hash60
+from spark_dns_spark.functions.dnsfn import portable_hash32_sql, portable_hash60
 from spark_dns_spark.operators import dedup as dd
 from spark_dns_spark.plans.catalog import register
-from spark_dns_spark.session import load_table
+from spark_dns_spark.session import load_table, spread
 
 NUM_HASHES = 12
 ROWS_PER_BAND = 2
@@ -19,25 +19,41 @@ NUM_BANDS = NUM_HASHES // ROWS_PER_BAND
 SHINGLE_N = 5
 JACCARD_T = 0.5
 
-#: Shared DuckDB CTE: tokens → shingles → minhash signature per doc.
+#: Shared DuckDB CTE: tokens → shingles → ONE 32-bit hash per shingle →
+#: K affine-reseeded minhashes (mirrors shingle_hashes +
+#: minhash_signature exactly; dedup.py MINHASH_P rationale).
 _SIG_CTE = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ), shingled AS (
   SELECT doc_id, {dd.word_shingles_sql("t", SHINGLE_N)} AS sh FROM toks
-), sig AS (
-  SELECT doc_id, sh, {", ".join(dd.minhash_signature_sql("sh", NUM_HASHES))}
+), hashed AS (
+  SELECT doc_id,
+         list_distinct(list_transform(sh, s -> {portable_hash32_sql("s")})) AS hs
   FROM shingled WHERE len(sh) > 0
+), sig AS (
+  SELECT doc_id, hs, {", ".join(dd.minhash_signature_sql("hs", NUM_HASHES))}
+  FROM hashed
 )
 """
 
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", dd.word_shingles("text", SHINGLE_N).alias("sh")
-    ).filter(F.size("sh") > 0)
-    return sh.select("doc_id", "sh", *dd.minhash_signature(F.col("sh"), NUM_HASHES))
+    """(doc_id, hs, mh0..mhK) — one md5 per shingle, K affine reseeds.
+
+    ``hs`` (the distinct shingle-hash set) doubles as the exact-Jaccard
+    verification payload, so raw text never enters any join."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    sh = toks.select("doc_id", dd.word_shingles("t", SHINGLE_N).alias("sh"))
+    # persist BEFORE the filter and the 12-way signature fan-out:
+    # interpreted higher-order expressions get duplicated into every
+    # consumer by filter-pushdown/projection-collapse, so without this
+    # cache the tokenize→shingle→md5 pipeline re-runs per consumer.
+    hs = sh.select("doc_id", dd.shingle_hashes(F.col("sh")).alias("hs")).persist()
+    return hs.filter(F.size("hs") > 0).select(
+        "doc_id", "hs", *dd.minhash_signature(F.col("hs"), NUM_HASHES)
+    )
 
 
 @register(
@@ -62,11 +78,12 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f"""
 SELECT doc_id, {", ".join(f"mh{k}" for k in range(NUM_HASHES))} FROM sig
 """,
-    doc="MinHash signatures (K=12) — map-only, bit-exact vs the oracle",
+    doc="MinHash signatures (K=12, affine-reseeded from one md5/shingle) "
+    "— map-only, bit-exact vs the oracle",
     tags=("dedup", "minhash"),
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _signatures(spark, sf_dir).drop("sh")
+    return _signatures(spark, sf_dir).drop("hs")
 
 
 @register(
@@ -90,34 +107,39 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 SELECT id_a, id_b, round(jac, 4) AS jaccard FROM (
   SELECT id_a, id_b,
-         CAST(len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh))) AS DOUBLE)
-         / (len(list_distinct(sa.sh)) + len(list_distinct(sb.sh))
-            - len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh)))) AS jac
+         CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+         / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jac
   FROM cand
-  JOIN shingled sa ON sa.doc_id = id_a
-  JOIN shingled sb ON sb.doc_id = id_b
+  JOIN sig sa ON sa.doc_id = id_a
+  JOIN sig sb ON sb.doc_id = id_b
 ) WHERE jac >= {JACCARD_T}
 """,
     doc="near-dup dedup: MinHash signature → LSH banding (b=6,r=2) → "
-    "bucket-join candidates → exact-Jaccard verification ≥ 0.5; "
-    "never all-pairs (the 100 TB scale path)",
+    "bucket-join candidates → exact-Jaccard verification ≥ 0.5 over the "
+    "shingle-hash sets; never all-pairs (the 100 TB scale path)",
     tags=("dedup", "minhash", "lsh", "bench"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _signatures(spark, sf_dir).select(
-        "doc_id", "sh", *dd.band_keys(NUM_HASHES, ROWS_PER_BAND)
+    # persist(): the signature lineage fans out to three plan branches
+    # (bucket self-join ×2 + verification); without the cache the whole
+    # tokenize→shingle→hash scan re-runs per branch — at 100 TB this is
+    # written to a staging table instead, same idea.
+    sig = (
+        _signatures(spark, sf_dir)
+        .select("doc_id", "hs", *dd.band_keys(NUM_HASHES, ROWS_PER_BAND))
+        .persist()
     )
     cand = dd.lsh_candidates(sig, "doc_id", NUM_BANDS)
-    sh = sig.select("doc_id", "sh")
+    hs = sig.select("doc_id", "hs")
     pairs = (
-        cand.join(sh.withColumnRenamed("doc_id", "id_a").alias("sa"), "id_a")
+        cand.join(hs.withColumnRenamed("doc_id", "id_a").alias("sa"), "id_a")
         .join(
-            sh.withColumnRenamed("doc_id", "id_b")
-            .withColumnRenamed("sh", "sh_b")
+            hs.withColumnRenamed("doc_id", "id_b")
+            .withColumnRenamed("hs", "hs_b")
             .alias("sb"),
             "id_b",
         )
-        .withColumn("jaccard", F.round(dd.jaccard(F.col("sh"), F.col("sh_b")), 4))
+        .withColumn("jaccard", F.round(dd.jaccard(F.col("hs"), F.col("hs_b")), 4))
         .filter(F.col("jaccard") >= JACCARD_T)
     )
     return pairs.select("id_a", "id_b", "jaccard")
@@ -149,11 +171,16 @@ SELECT id_a, id_b, round(jac, 4) AS jaccard FROM (
     tags=("dedup", "ngram"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        F.array_distinct(dd.word_shingles("text", SHINGLE_N)).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    sh = (
+        toks.select(
+            "doc_id",
+            F.array_distinct(dd.word_shingles("t", SHINGLE_N)).alias("sh"),
+        )
+        .persist()  # 4 consumers below (explode ×2, verify ×2)
+        .filter(F.size("sh") > 0)
+    )
     ex = sh.select("doc_id", F.explode("sh").alias("s"))
     pairs = (
         ex.alias("a")
@@ -194,51 +221,78 @@ WITH toks AS (
   FROM toks WHERE len(t) > 0
 ), sh AS (
   SELECT doc_id, {SIMHASH} AS simhash FROM th
+), bands AS (
+  SELECT doc_id, simhash, i AS band_idx,
+         CASE WHEN i = 0 THEN simhash >> 45
+              WHEN i = 1 THEN (simhash >> 30) & 32767
+              WHEN i = 2 THEN (simhash >> 15) & 32767
+              ELSE simhash & 32767 END AS band_val
+  FROM sh, (SELECT unnest(generate_series(0, 3)) AS i)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM sh a JOIN sh b
-  ON a.doc_id < b.doc_id
- AND (
-      (a.simhash >> 45) = (b.simhash >> 45)
-   OR ((a.simhash >> 30) & 32767) = ((b.simhash >> 30) & 32767)
-   OR ((a.simhash >> 15) & 32767) = ((b.simhash >> 15) & 32767)
-   OR (a.simhash & 32767) = (b.simhash & 32767)
- )
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+SELECT id_a, id_b, bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+FROM cand
+JOIN sh sa ON sa.doc_id = id_a
+JOIN sh sb ON sb.doc_id = id_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 8
 """.replace(
         "{SIMHASH}", dd.simhash64_sql("hs")
     ),
-    doc="SimHash near-dup: 60-bit majority fingerprint, 4×15-bit band "
-    "bucketing (any band equal ⇒ candidate), hamming ≤ 8 verification",
-    tags=("dedup", "simhash"),
+    doc="SimHash near-dup: 60-bit majority fingerprint, 4×15-bit bands "
+    "exploded to (band_idx, band_val) rows and equi-joined (any shared "
+    "band ⇒ candidate), hamming ≤ 8 verification.  The band explode "
+    "replaces an OR-of-equalities join Catalyst could only plan as a "
+    "nested loop — this shape is one hash shuffle at any scale",
+    tags=("dedup", "simhash", "bench"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     th = docs.select(
         "doc_id",
         F.transform(
             F.array_distinct(F.split("text", " ")), lambda w: portable_hash60(w)
         ).alias("hs"),
     ).filter(F.size("hs") > 0)
-    sh = th.select("doc_id", dd.simhash64(F.col("hs")).alias("simhash"))
-    a, b = sh.alias("a"), sh.alias("b")
-    sa, sb = F.col("a.simhash"), F.col("b.simhash")
-    band_match = (
-        (F.shiftright(sa, 45) == F.shiftright(sb, 45))
-        | (F.shiftright(sa, 30).bitwiseAND(F.lit(32767))
-           == F.shiftright(sb, 30).bitwiseAND(F.lit(32767)))
-        | (F.shiftright(sa, 15).bitwiseAND(F.lit(32767))
-           == F.shiftright(sb, 15).bitwiseAND(F.lit(32767)))
-        | (sa.bitwiseAND(F.lit(32767)) == sb.bitwiseAND(F.lit(32767)))
+    # persist(): simhash64 is a 60-term majority-vote expression whose
+    # lineage otherwise re-runs on all four plan branches below.
+    sh = th.select("doc_id", dd.simhash64(F.col("hs")).alias("simhash")).persist()
+    m = F.lit(32767)
+    bands = sh.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                F.shiftright("simhash", 45),
+                F.shiftright("simhash", 30).bitwiseAND(m),
+                F.shiftright("simhash", 15).bitwiseAND(m),
+                F.col("simhash").bitwiseAND(m),
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
     )
     return (
-        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & band_match)
-        .withColumn("hamming", dd.hamming60(sa, sb))
-        .filter(F.col("hamming") <= 8)
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            "hamming",
+        cand.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sim_a")),
+            "id_a",
         )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sim_b")),
+            "id_b",
+        )
+        .withColumn("hamming", dd.hamming60(F.col("sim_a"), F.col("sim_b")))
+        .filter(F.col("hamming") <= 8)
+        .select("id_a", "id_b", "hamming")
     )

@@ -72,3 +72,19 @@ def get_session(app_name: str = "spark_dns_spark") -> SparkSession:
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver-generated parquet table (TESTDATA.md)."""
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def spread(df):
+    """Repartition up to the cluster's parallelism when the scan yields
+    fewer splits than cores — e.g. one small parquet file feeding an
+    expensive per-row expression pipeline (shingling, simhash).
+
+    At real scale the file count provides natural parallelism and this
+    is a no-op; it never repartitions *down* and never touches an
+    already-parallel input, so no shuffle is added where scan splits
+    already spread the load.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
