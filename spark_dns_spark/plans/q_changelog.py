@@ -63,7 +63,9 @@ def changelog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
 SELECT action, fqdn, ip,
        max(ts) AS last_ts,
-       arg_max(event_id, epoch_us(ts) + event_id % 1000000) AS last_event_id
+       arg_max(event_id,
+               CAST(epoch_us(ts) AS HUGEINT) * 17179869184 + event_id)
+         AS last_event_id
 FROM dns_changes
 GROUP BY action, fqdn, ip
 """,
@@ -72,10 +74,17 @@ GROUP BY action, fqdn, ip
     tags=("changelog", "agg"),
 )
 def changelog_max_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Deterministic argmax: order key = epoch micros + event_id%1e6 —
-    # an integer both engines compute identically.
+    # Deterministic lexicographic argmax on (ts, event_id): the key is
+    # epoch_us * 2^34 + event_id with non-overlapping ranges (event_id
+    # < 2^34 at any plausible SF), widened to decimal/HUGEINT so the
+    # product can't overflow int64 in either engine.  (A plain
+    # `epoch + event_id % 1e6` mix would let a ~1s-older row with a
+    # larger id win, detaching last_event_id from last_ts.)
     df = dns_changes(spark, sf_dir)
-    order_key = F.unix_micros(F.col("ts")) + (F.col("event_id") % 1000000)
+    order_key = (
+        F.unix_micros(F.col("ts")).cast("decimal(38,0)") * F.lit(17179869184)
+        + F.col("event_id")
+    )
     return df.groupBy("action", "fqdn", "ip").agg(
         F.max("ts").alias("last_ts"),
         F.max_by("event_id", order_key).alias("last_event_id"),

@@ -104,16 +104,25 @@ class DnsUpdateWriter(DataSourceWriter):
             if prev is None or row["timestamp"] > prev["timestamp"]:
                 per_key[key] = row
 
-        by_zone: dict[str, list[tuple[str, str, str]]] = {}
-        for (action, fqdn, ip), _ in per_key.items():
-            by_zone.setdefault(_zone_of(fqdn), []).append((action, fqdn, ip))
+        by_zone: dict[str, list] = {}
+        for (action, fqdn, ip), row in per_key.items():
+            by_zone.setdefault(_zone_of(fqdn), []).append(
+                (row["timestamp"], action, fqdn, ip)
+            )
 
         store = ZoneStore(self.opts.store)
         applied = []
         n = 0
         for zone in sorted(by_zone):
+            # Apply surviving changes in TIMESTAMP order (tie-broken by
+            # action/fqdn/ip): an action-sorted apply would let a stale
+            # IXFR_DELETE erase a newer add for the same (fqdn, ip),
+            # violating the documented most-recent-wins contract
+            # (README.md:119-121; the reference is order-arbitrary here,
+            # which we resolve deterministically in ts order).
+            changes = [(a, f, i) for (_, a, f, i) in sorted(by_zone[zone])]
             try:
-                store.apply_update(zone, sorted(by_zone[zone]))
+                store.apply_update(zone, changes)
             except ZoneNotFoundError:
                 if self.ignore_failures:
                     continue

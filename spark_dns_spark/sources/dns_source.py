@@ -106,9 +106,14 @@ def _transfer_rows(opts: DnsSourceOptions, part: DnsZonePartition):
     try:
         if part.zone in opts.fail_zones:  # fault injection (tests, T7)
             raise OSError(f"simulated transfer failure for {part.zone}")
-        if part.axfr or part.from_serial == 0:
+        if part.axfr and part.to_serial is None:
             res = store.axfr(part.zone)
         else:
+            # ixfr() serves from_serial==0 as a snapshot BOUNDED at
+            # to_serial, so a streaming batch planned at [0, end] stays
+            # pinned to its offsets even if the store advances before
+            # the task runs (or the task retries) — no duplicate
+            # re-delivery at the next batch.
             res = store.ixfr(part.zone, part.from_serial, part.to_serial)
     except (OSError, ZoneNotFoundError):
         if opts.ignore_failures:
@@ -133,11 +138,21 @@ class DnsBatchReader(DataSourceReader):
     def pushFilters(self, filters: list[Filter]):
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("zone",):
-                self._zone_filter = {f.value}
+                values = {f.value}
             elif isinstance(f, In) and f.attribute == ("zone",):
-                self._zone_filter = set(f.values)
+                values = set(f.values)
             else:
                 yield f  # not ours — Spark keeps it above the scan
+                continue
+            # Consumed filters are ANDed by contract, so successive
+            # zone predicates intersect (keeping only the last would
+            # silently drop the others — Spark does not re-apply what
+            # pushFilters consumed).
+            self._zone_filter = (
+                values
+                if self._zone_filter is None
+                else self._zone_filter & values
+            )
 
     def partitions(self):
         ts = _now_us()

@@ -91,14 +91,39 @@ class ZoneStore:
         history: list[tuple[int, str, str, str]] | None = None,
     ) -> None:
         """Provision a zone: ``records`` = current (fqdn, ip) set;
-        ``history`` = [(serial, action, fqdn, ip)] change log."""
+        ``history`` = [(serial, action, fqdn, ip)] change log.
+
+        A replay base is recorded so serial-bounded snapshots
+        (:meth:`snapshot_at`) are exact: if forward-replaying ``history``
+        from an empty set reproduces ``records``, the base is (∅, 0);
+        otherwise the base is (``records``, ``serial``) and snapshots
+        before ``serial`` are unservable (like a real server whose
+        journal doesn't reach back that far)."""
+        recs = sorted(set(map(tuple, records or [])))
+        hist = [list(h) for h in (history or [])]
+        replayed: set[tuple[str, str]] = set()
+        for h in sorted(hist, key=lambda h: int(h[0])):
+            if h[1] == IXFR_DELETE:
+                replayed.discard((h[2], h[3]))
+            else:
+                replayed.add((h[2], h[3]))
+        base_complete = sorted(replayed) == recs
+        if base_complete:
+            # empty base anchored just below the oldest journal entry
+            # (= creation serial when there is no journal yet)
+            base_records: list = []
+            base_serial = min((int(h[0]) for h in hist), default=serial + 1) - 1
+        else:
+            base_records, base_serial = recs, serial
         self._write_atomic(
             zone,
             {
                 "zone": zone,
                 "serial": serial,
-                "records": sorted(set(map(tuple, records or []))),
-                "history": [list(h) for h in (history or [])],
+                "records": recs,
+                "history": hist,
+                "base_records": base_records,
+                "base_serial": base_serial,
             },
         )
 
@@ -125,29 +150,67 @@ class ZoneStore:
         rows = [(AXFR, fqdn, ip) for fqdn, ip in d["records"]]
         return TransferResult(AXFR, int(d["serial"]), rows)
 
+    def snapshot_at(self, zone: str, at_serial: int) -> TransferResult:
+        """Serial-bounded AXFR: the zone's state as of ``at_serial``,
+        reconstructed as base + forward replay of history ≤ at_serial.
+
+        This is what pins a streaming batch to its planned [start, end]
+        offsets even if the store advances between ``latestOffset()``
+        and task execution (or on task retry) — the exactly-once
+        guarantee the reference approximates with accumulators
+        (DnsStreamingSource.java:53-67)."""
+        d = self._load(zone)
+        cur = int(d["serial"])
+        if at_serial >= cur:
+            return self.axfr(zone)
+        base_serial = int(d.get("base_serial", 0))
+        have = {int(h[0]) for h in d["history"]}
+        if at_serial < base_serial or not all(
+            s in have for s in range(base_serial + 1, at_serial + 1)
+        ):
+            raise ZoneNotFoundError(
+                f"history for {zone} does not reach back to serial {at_serial}"
+            )
+        recs = {tuple(r) for r in d.get("base_records", [])}
+        for h in sorted(d["history"], key=lambda h: int(h[0])):
+            if int(h[0]) > at_serial:
+                break
+            if int(h[0]) <= base_serial:  # already folded into the base
+                continue
+            if h[1] == IXFR_DELETE:
+                recs.discard((h[2], h[3]))
+            else:
+                recs.add((h[2], h[3]))
+        rows = [(AXFR, fqdn, ip) for fqdn, ip in sorted(recs)]
+        return TransferResult(AXFR, at_serial, rows)
+
     def ixfr(
         self, zone: str, from_serial: int, to_serial: int | None = None
     ) -> TransferResult:
         """Deltas with from_serial < serial <= to_serial.
 
-        from_serial == 0 ⇒ AXFR (Xfr.java:42-49); from_serial below
-        retained history ⇒ AXFR fallback (interpretation keyed on the
-        *answer*, not the request — the reference keys on the request
-        and silently yields zero rows, SURVEY.md §7.3).
+        from_serial == 0 ⇒ full snapshot (Xfr.java:42-49); from_serial
+        below the replay base ⇒ snapshot fallback (interpretation keyed
+        on the *answer*, not the request — the reference keys on the
+        request and silently yields zero rows, SURVEY.md §7.3).  Both
+        fallbacks honor ``to_serial`` via :meth:`snapshot_at`, so a
+        bounded read never leaks rows beyond its planned end offset.
         """
         d = self._load(zone)
         cur = int(d["serial"])
         hi = cur if to_serial is None else min(to_serial, cur)
         if from_serial >= hi:
             return TransferResult("IXFR", hi, [])
-        oldest = min((int(h[0]) for h in d["history"]), default=cur + 1)
-        if from_serial == 0 or from_serial < oldest - 1:
-            res = self.axfr(zone)
-            if to_serial is not None and res.serial > to_serial:
-                raise ZoneNotFoundError(
-                    f"cannot AXFR-fallback {zone} at historical serial {to_serial}"
-                )
-            return res
+        have = {int(h[0]) for h in d["history"]}
+        journal_complete = all(
+            s in have for s in range(from_serial + 1, hi + 1)
+        )
+        if (
+            from_serial == 0
+            or from_serial < int(d.get("base_serial", 0))
+            or not journal_complete  # journal truncated below from_serial
+        ):
+            return self.snapshot_at(zone, hi)
         rows = [
             (h[1], h[2], h[3])
             for h in d["history"]
