@@ -32,9 +32,12 @@ HEADLINE = [
     "lineitem_running_window",
     "dedup_exact_documents",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "similarity_topk_bruteforce",
+    "similarity_topk_lsh",
     "text_quality_score",
     "sessionize_events",
+    "multimodal_decode_features",
 ]
 
 
@@ -48,9 +51,14 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     timings: dict[str, float] = {}
+    skipped: list[str] = []
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
+            # never silent: a missing headline query is a coverage gap,
+            # not a shorter benchmark
+            skipped.append(name)
+            print(f"# SKIPPED (not in catalog): {name}", file=sys.stderr)
             continue
         t0 = time.monotonic()
         df = fn(spark, sf_dir)
@@ -59,17 +67,16 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = float(Path(sf_dir).name.replace("sf", "") or 0)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if skipped:
+        out["skipped"] = skipped
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -63,6 +63,7 @@ def catalog() -> dict[str, Query]:
         q_similarity,
         q_text,
         q_sessions,
+        q_multimodal,
         q_connector,
     )
 

@@ -50,10 +50,17 @@ _NORM_CTE = """
 
 
 def _store_root(spark: SparkSession, sf_dir: str) -> str:
-    """Provision (once per sf_dir) the zone store derived from the feed."""
+    """Provision (once per sf_dir) the zone store derived from the feed.
+
+    The marker records the provisioned row count; the feed is a pure
+    function of sf_dir, so marker presence alone proves completeness —
+    no per-invocation count() over the feed (a full scan per connector
+    query otherwise)."""
     name = Path(sf_dir).name or "sf"
     root = _SCRATCH / name
-    marker = root / ".complete"
+    marker = root / ".complete.v2"  # v2: base+replay store format
+    if marker.exists():
+        return str(root)
 
     df = dns_changes(spark, sf_dir).select(
         "action",
@@ -63,9 +70,6 @@ def _store_root(spark: SparkSession, sf_dir: str) -> str:
         "event_id",
     )
     df = df.withColumn("zone", zone_from_fqdn("fqdn"))
-    n_expected = df.count()
-    if marker.exists() and marker.read_text() == str(n_expected):
-        return str(root)
 
     from spark_dns_spark.sources.zonestore import ZoneStore
 
@@ -87,7 +91,7 @@ def _store_root(spark: SparkSession, sf_dir: str) -> str:
             state[(fqdn, ip)] = action in ("AXFR", "IXFR_ADD")
         records = [k for k, alive in state.items() if alive]
         store.create_zone(zone, records=records, serial=len(hist), history=hist)
-    marker.write_text(str(n_expected))
+    marker.write_text(str(len(rows)))
     return str(root)
 
 
@@ -168,3 +172,73 @@ def dns_read_zone_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(F.col("zone") == "zone3.example.").select(
         "action", "fqdn", "ip", "zone"
     )
+
+
+@register(
+    "dns_stream_sink_roundtrip",
+    DNS_CHANGES_CTE
+    + _NORM_CTE
+    + """
+SELECT 'AXFR' AS action, fqdn, ip, zone FROM (
+  SELECT fqdn, ip, zone, action AS last_action,
+         ROW_NUMBER() OVER (PARTITION BY fqdn, ip
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM serialed
+) WHERE rn = 1 AND last_action IN ('AXFR', 'IXFR_ADD')
+""",
+    doc="S7-S10/T1-T5 e2e under the oracle: the whole change feed is "
+    "written through the dns_update sink (global dedup + ts-ordered "
+    "apply) into a fresh store, then streamed back with the dns stream "
+    "reader (availableNow, offsets 0→current, commit+progress files); "
+    "the streamed snapshot must equal the feed's latest-wins state.  "
+    "Mirrors the reference's two hardest e2e tests "
+    "(DnsSourceRelationProviderTest.java:203-226, "
+    "DnsSinkRelationProviderTest.java:182-197)",
+    tags=("connector", "streaming", "sink"),
+)
+def dns_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from spark_dns_spark.sources import register_all
+    from spark_dns_spark.sources.dns_sink import send_updates
+    from spark_dns_spark.sources.zonestore import ZoneStore
+
+    register_all(spark)
+    os.makedirs(_SCRATCH / "roundtrip", exist_ok=True)
+    root = tempfile.mkdtemp(dir=str(_SCRATCH / "roundtrip"))
+
+    upd = dns_changes(spark, sf_dir).select(
+        "action",
+        fqdn_normalize(F.lower(F.col("fqdn"))).alias("fqdn"),
+        "ip",
+        F.col("ts").alias("timestamp"),
+        F.lit(3600).cast("int").alias("ttl"),
+    )
+    # zone DDL: provision empty zones (the one driver-side collect —
+    # ~#zones rows, the provisioning step a live server wouldn't need)
+    zones = [
+        r.z
+        for r in upd.select(zone_from_fqdn("fqdn").alias("z")).distinct().collect()
+    ]
+    store = ZoneStore(root)
+    for z in zones:
+        store.create_zone(z, records=[], serial=1)
+
+    # S8: batch sink with global dedup + one update message per zone
+    send_updates(upd, root)
+
+    # S7/T1-T5: stream the store back from offset 0, availableNow
+    out = os.path.join(root, "out")
+    q = (
+        spark.readStream.format("dns")
+        .option("store", root)
+        .option("organization", "Acme Inc.")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(root, ".ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select("action", "fqdn", "ip", "zone")

@@ -1,0 +1,124 @@
+"""Multimodal-column queries (builder brief): text + binary + embedding
+modalities in one pipeline, with exact DuckDB oracles.
+
+- ``multimodal_join`` — documents ⋈ embeddings (text and vector
+  modalities in one row), filtering on both modalities at once.
+- ``multimodal_binary_dedup`` — opaque binary payloads deduped by
+  digest; the payload bytes never reach the shuffle (digest is the
+  key), the pattern that matters when payloads are MB-scale.
+- ``multimodal_decode_features`` — Arrow-batched ``mapInPandas``
+  decode (operators/multimodal.py) with a deterministic fake codec;
+  the oracle reproduces the byte arithmetic, so the whole binary
+  plumbing (encode → batch → decode → schema) is value-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_dns_spark.operators import multimodal as mm
+from spark_dns_spark.operators import similarity as sim
+from spark_dns_spark.plans.catalog import register
+from spark_dns_spark.session import load_table, spread
+
+MIN_WORDS = 30  #: text-side filter
+MIN_NORM = 0.9  #: vector-side filter (embeddings are ~unit-norm)
+
+
+@register(
+    "multimodal_join",
+    f"""
+WITH d AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_words FROM documents
+), ev AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), e AS (
+  SELECT vec_id, label, {sim.norm_sql("v")} AS nm FROM ev
+)
+SELECT doc_id, lang, n_words, label,
+       round(nm, 4) AS norm
+FROM d JOIN e ON doc_id = vec_id
+WHERE n_words >= {MIN_WORDS} AND nm >= {MIN_NORM}
+""",
+    doc="text ⋈ vector modalities on shared id, filtered on BOTH "
+    "modalities (word count + embedding norm) in one plan; the join is "
+    "a plain equi-join so Catalyst picks broadcast/SMJ by stats",
+    tags=("multimodal", "join"),
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_words")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        sim.norm(F.col("embedding").cast("array<double>")).alias("nm"),
+    )
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .filter((F.col("n_words") >= MIN_WORDS) & (F.col("nm") >= MIN_NORM))
+        .select(
+            "doc_id", "lang", "n_words", "label", F.round("nm", 4).alias("norm")
+        )
+    )
+
+
+@register(
+    "multimodal_binary_dedup",
+    """
+SELECT digest, min(doc_id) AS canonical_id, count(*) AS n_copies,
+       sum(n_bytes) AS total_bytes
+FROM (SELECT doc_id, md5(text) AS digest, strlen(text) AS n_bytes
+      FROM documents)
+GROUP BY digest
+""",
+    doc="opaque-binary dedup: digest the payload bytes, shuffle ONLY "
+    "(digest, id, n_bytes) — the pattern that keeps MB-scale payloads "
+    "out of the exchange at 100 TB",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id",
+        mm.payload_from_text("text").alias("payload"),
+    ).select(
+        "doc_id",
+        F.md5("payload").alias("digest"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+    )
+    return blobs.groupBy("digest").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").alias("n_copies"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+
+
+@register(
+    "multimodal_decode_features",
+    """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       strlen(text) AS n_bytes,
+       64 + strlen(text) % 577 AS width,
+       64 + (strlen(text) * 31) % 449 AS height,
+       (64 + strlen(text) % 577) * (64 + (strlen(text) * 31) % 449)
+         AS n_pixels,
+       ascii(left(text, 1)) + ascii(right(text, 1)) AS byte_probe
+FROM documents
+""",
+    doc="binary decode via Arrow-batched mapInPandas (fake codec, real "
+    "plumbing): payload bytes opened ONLY inside the Python batch "
+    "decoder; oracle reproduces the byte arithmetic exactly",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    blobs = docs.select(
+        "doc_id",
+        mm.modality_kind("doc_id").alias("kind"),
+        mm.payload_from_text("text").alias("payload"),
+    )
+    return mm.decode_features(blobs)
