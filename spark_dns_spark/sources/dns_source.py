@@ -106,6 +106,10 @@ def _transfer_rows(opts: DnsSourceOptions, part: DnsZonePartition):
     try:
         if part.zone in opts.fail_zones:  # fault injection (tests, T7)
             raise OSError(f"simulated transfer failure for {part.zone}")
+        # port/timeout behave like the reference's TCP client: wrong
+        # port refuses, simulated RTT beyond `timeout` times out — both
+        # suppressable via ignore-failures (DnsZoneRDD.java:82-92).
+        store.check_connect(opts.port, opts.timeout, part.zone)
         if part.axfr and part.to_serial is None:
             res = store.axfr(part.zone)
         else:

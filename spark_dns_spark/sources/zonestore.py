@@ -124,8 +124,59 @@ class ZoneStore:
                 "history": hist,
                 "base_records": base_records,
                 "base_serial": base_serial,
+                # every real zone carries SOA/NS records; a transfer
+                # receives them and must filter (P1, Xfr.java:76-81)
+                "non_a_records": [
+                    ["SOA", zone, f"ns1.{zone} hostmaster.{zone} {serial}"],
+                    ["NS", zone, f"ns1.{zone}"],
+                ],
             },
         )
+
+    # -- simulated server properties ----------------------------------
+    def _server_meta_path(self) -> str:
+        return os.path.join(self.root, ".server.json")
+
+    def set_server(self, port: int = 53) -> None:
+        """Declare the port this store's simulated server listens on
+        (default: accept any port, for stores that predate the file)."""
+        os.makedirs(self.root, exist_ok=True)
+        with open(self._server_meta_path(), "w") as f:
+            json.dump({"port": int(port)}, f)
+
+    def set_transfer_delay(self, zone: str, seconds: float) -> None:
+        """Fault injection: simulated transfer RTT for one zone."""
+        d = self._load(zone)
+        d["transfer_delay"] = float(seconds)
+        self._write_atomic(zone, d)
+
+    def check_connect(
+        self, port: int, timeout: float, zone: str | None = None
+    ) -> None:
+        """Model the TCP-client failure modes the reference's tests
+        exercise (bad port → connection refused; slow transfer →
+        timeout; DnsSourceRelationProviderTest.java:86-147).  No real
+        sleep — the simulated RTT is compared against the timeout."""
+        try:
+            with open(self._server_meta_path()) as f:
+                server_port = int(json.load(f)["port"])
+        except FileNotFoundError:
+            server_port = None
+        if server_port is not None and int(port) != server_port:
+            raise OSError(
+                f"connection refused: port {port} "
+                f"(server listens on {server_port})"
+            )
+        if zone is not None:
+            try:
+                delay = float(self._load(zone).get("transfer_delay", 0))
+            except ZoneNotFoundError:
+                return  # missing zone surfaces on the transfer itself
+            if delay and delay >= timeout:
+                raise OSError(
+                    f"transfer of {zone} timed out after {timeout}s "
+                    f"(simulated RTT {delay}s)"
+                )
 
     def zones(self) -> list[str]:
         if not os.path.isdir(self.root):
@@ -147,7 +198,13 @@ class ZoneStore:
 
     def axfr(self, zone: str) -> TransferResult:
         d = self._load(zone)
-        rows = [(AXFR, fqdn, ip) for fqdn, ip in d["records"]]
+        # The wire transfer carries every RR type (SOA, NS, A, ...);
+        # only A-records become rows — the reference's one
+        # protocol-level filter (P1, xfr/Xfr.java:76-81).
+        rrs = [("A", fqdn, ip) for fqdn, ip in d["records"]] + [
+            tuple(r) for r in d.get("non_a_records", [])
+        ]
+        rows = [(AXFR, name, value) for rtype, name, value in rrs if rtype == "A"]
         return TransferResult(AXFR, int(d["serial"]), rows)
 
     def snapshot_at(self, zone: str, at_serial: int) -> TransferResult:

@@ -178,3 +178,40 @@ def test_option_validation_errors(spark, store):
     assert o.xfr == "axfr" and o.zones == ["a.", "b.", "c."]
     # ignore-failures effective default false (quirk, SURVEY §2.8)
     assert DnsSourceOptions.parse({"store": "/x"}).ignore_failures is False
+
+
+def test_non_a_records_filtered_at_transfer(store):
+    """P1 — the zone file carries SOA/NS records; the transfer filters
+    them so only A-records become rows (xfr/Xfr.java:76-81)."""
+    import json as _json
+
+    d = _json.load(open(store._path("example.acme.")))
+    assert {r[0] for r in d["non_a_records"]} == {"SOA", "NS"}
+    res = store.axfr("example.acme.")
+    assert len(res.rows) == 3  # A-records only
+    assert all(not f.startswith("ns1.") for _, f, _ in res.rows)
+
+
+def test_bad_port_fail_and_suppress_matrix(spark, store):
+    """Reference bad-port matrix (DnsSourceRelationProviderTest.java:
+    86-147): wrong port refuses; ignore-failures suppresses to empty."""
+    store.set_server(port=53)
+    assert _read(spark, store, xfr="axfr", port="53").count() == 8
+    df = _read(spark, store, xfr="axfr", port="5353")
+    with pytest.raises(Exception, match="connection refused"):
+        df.collect()
+    assert _read(spark, store, xfr="axfr", port="5353",
+                 ignore_failures="true").count() == 0
+
+
+def test_timeout_fail_and_suppress_matrix(spark, store):
+    """Timeout matrix: simulated RTT beyond `timeout` fails the
+    transfer; larger timeout or ignore-failures recovers."""
+    store.set_transfer_delay("example.acme.", 30.0)
+    df = _read(spark, store, zones="example.acme.", xfr="axfr")
+    with pytest.raises(Exception, match="timed out"):
+        df.collect()  # default timeout 10s < 30s RTT
+    assert _read(spark, store, zones="example.acme.", xfr="axfr",
+                 timeout="60").count() == 3
+    assert _read(spark, store, zones="example.acme.,another.zone.",
+                 xfr="axfr", ignore_failures="true").count() == 5
