@@ -119,3 +119,80 @@ def sessionize_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_window.end").alias("w_end"),
         "n_events",
     )
+
+
+@register(
+    "sessionize_stream_stateful",
+    f"""
+WITH lagged AS (
+  SELECT event_id, ts, user_id, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR ts > prev_ts + INTERVAL {GAP_MIN} MINUTE
+                 THEN 1 ELSE 0 END AS new_s
+  FROM lagged
+), sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), agg AS (
+  SELECT user_id, sid,
+         min(ts) AS session_start, max(ts) AS session_end,
+         count(*) AS n_events, round(sum(value), 3) AS sum_value
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, n_events, sum_value
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY sid DESC) AS rn FROM agg)
+WHERE rn > 1
+   OR (epoch_us(session_end)//1000 + {GAP_MIN} * 60000)
+      < (SELECT epoch_us(max(ts))//1000 FROM events)
+""",
+    doc="custom stateful streaming operator: applyInPandasWithState "
+    "sessionization over a file-streamed events feed (availableNow). "
+    "Emitted = every gap-closed session PLUS sessions closed by the "
+    "event-time timeout when the final no-data micro-batch advances the "
+    "watermark to max(ts); only final sessions still inside the gap "
+    "stay open in state.  The oracle mirrors both rules (ms-truncated "
+    "timeout arithmetic, like Spark's watermark)",
+    tags=("sessions", "streaming", "stateful"),
+)
+def sessionize_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from spark_dns_spark.streaming.stateful import sessionize_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out_root = tempfile.mkdtemp(prefix="sessionize_stream_")
+    # the streaming file source wants a directory; stage the single
+    # events file behind a symlink
+    src_dir = os.path.join(out_root, "src")
+    os.makedirs(src_dir)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    src = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(src_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("ts", "user_id", "value")
+    )
+    out = os.path.join(out_root, "out")
+    q = (
+        sessionize_stream(src, gap_min=GAP_MIN)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(out_root, ".ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    df = spark.read.parquet(out)
+    return df.withColumn("sum_value", F.round("sum_value", 3))
