@@ -38,6 +38,8 @@ HEADLINE = [
     "text_quality_score",
     "sessionize_events",
     "multimodal_decode_features",
+    "asof_join_last_error",
+    "pipeline_curate_corpus",
 ]
 
 

@@ -64,6 +64,8 @@ def catalog() -> dict[str, Query]:
         q_text,
         q_sessions,
         q_multimodal,
+        q_temporal,
+        q_pipeline,
         q_connector,
     )
 
