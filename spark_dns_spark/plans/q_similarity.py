@@ -254,6 +254,11 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cv")
     )
     wv = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("label"))
+    # NB: this crossJoin plans as BroadcastNestedLoopJoin — deliberately.
+    # The broadcast side is the CENTROID table (ncells rows, ~KBs); every
+    # vector must score all ncells centroids to pick its cell, so the
+    # "nested loop" is the O(ncells)-per-row IVF assignment itself, not
+    # a pairwise blowup.  Corpus-side stays partition-parallel.
     asg = (
         n.crossJoin(F.broadcast(cent))
         .withColumn("d2", _dist2(F.col("v"), F.col("cv")))
