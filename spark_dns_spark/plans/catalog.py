@@ -66,6 +66,7 @@ def catalog() -> dict[str, Query]:
         q_multimodal,
         q_temporal,
         q_pipeline,
+        q_cluster,
         q_connector,
     )
 

@@ -86,8 +86,9 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _signatures(spark, sf_dir).drop("hs")
 
 
-@register(
-    "dedup_minhash_lsh",
+#: Full LSH near-dup SQL, exported so the cluster-assignment query can
+#: embed it as a CTE subquery (q_cluster.py).
+MINHASH_LSH_SQL = (
     _SIG_CTE
     + f"""
 , banded AS (
@@ -113,7 +114,13 @@ SELECT id_a, id_b, round(jac, 4) AS jaccard FROM (
   JOIN sig sa ON sa.doc_id = id_a
   JOIN sig sb ON sb.doc_id = id_b
 ) WHERE jac >= {JACCARD_T}
-""",
+"""
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    MINHASH_LSH_SQL,
     doc="near-dup dedup: MinHash signature → LSH banding (b=6,r=2) → "
     "bucket-join candidates → exact-Jaccard verification ≥ 0.5 over the "
     "shingle-hash sets; never all-pairs (the 100 TB scale path)",

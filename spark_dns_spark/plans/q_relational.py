@@ -262,3 +262,76 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.countDistinct("l_suppkey").alias("exact_supps"),
     )
+
+
+@register(
+    "lineitem_cube",
+    """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    doc="CUBE over (returnflag, linestatus) with grouping_id — the full "
+    "2^k aggregation lattice in one pass (§2.4 grouping-sets family)",
+    tags=("relational", "agg", "cube"),
+)
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "orders_grouping_sets",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    doc="explicit GROUPING SETS (status) / (priority) / (grand total) "
+    "via the SQL surface — one shuffle, no self-union",
+    tags=("relational", "agg", "grouping-sets"),
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping_id(o_orderstatus, o_orderpriority) AS gid,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "lineitem_percentiles",
+    """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+       round(quantile_cont(l_quantity, 0.95), 4) AS p95_qty,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="exact interpolated percentiles per group (Spark percentile == "
+    "DuckDB quantile_cont, both linear-interpolation); the sketch "
+    "variant (approx_percentile/t-digest) swaps in one function call "
+    "at 100 TB",
+    tags=("relational", "agg", "percentile"),
+)
+def lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.95)"), 4).alias("p95_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+    )

@@ -1,0 +1,62 @@
+"""Plan-shape contract: the scale properties the engine promises are
+asserted on the PHYSICAL plans, not just documented.
+
+- no BroadcastNestedLoopJoin / CartesianProduct anywhere except the two
+  whitelisted deliberate small-broadcast cases;
+- predicate pushdown reaches the parquet scan (PushedFilters);
+- dimension joins are broadcast, fact side shuffles at most once.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+#: Deliberate nested-loop plans: the brute-force exact baseline (query
+#: side broadcast) and the IVF centroid assignment (ncells-row broadcast).
+BNLJ_WHITELIST = {"similarity_topk_bruteforce", "similarity_topk_ivf"}
+
+#: Queries that run their own streaming jobs — planned separately.
+SKIP = {"dns_stream_sink_roundtrip", "sessionize_stream_stateful"}
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _catalog():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(_catalog()) - SKIP)
+)
+def test_no_accidental_nested_loops(name, spark, sf_dir):
+    plan = _plan(_catalog()[name](spark, sf_dir))
+    if name in BNLJ_WHITELIST:
+        return  # documented deliberate small-broadcast nested loop
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a BNLJ"
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    from spark_dns_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > 30
+    ).select("l_orderkey", "l_quantity")
+    plan = _plan(li)
+    assert "PushedFilters: [" in plan and "GreaterThan(l_quantity" in plan
+    # column pruning: the scan must not read all 16 lineitem columns
+    assert "l_comment" not in plan
+
+
+def test_dimension_joins_are_broadcast(spark, sf_dir):
+    plan = _plan(_catalog()["revenue_by_nation"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "dims must broadcast"
+    # the fact table must not be on a broadcast side: no broadcast of
+    # lineitem-sized relations (heuristic: BroadcastExchange count ==
+    # number of dimension tables in the plan)
+    assert plan.count("BroadcastExchange") >= 2
