@@ -67,6 +67,7 @@ def catalog() -> dict[str, Query]:
         q_temporal,
         q_pipeline,
         q_cluster,
+        q_sampling,
         q_connector,
     )
 

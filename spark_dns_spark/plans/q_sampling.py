@@ -1,0 +1,141 @@
+"""Deterministic corpus sampling / splitting / quantization — the
+bookkeeping operators of a training-data pipeline, all map-only and
+idempotent (hash-based, not RNG-based, so backfills and reruns pick the
+SAME rows — the property that matters when the corpus is rebuilt
+incrementally at 100 TB).
+
+- ``sample_stratified_hash`` — per-language sampling rates applied via
+  a stable md5-derived bucket, plus train/val/test split assignment in
+  the same pass.
+- ``embedding_quantize_int8`` — symmetric per-vector int8 quantization
+  (scale = max|x|/127), the standard ANN-index compression; emits an
+  integer checksum per vector so the oracle verifies every quantized
+  element without shipping arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_dns_spark.plans.catalog import register
+from spark_dns_spark.session import load_table
+
+#: Per-language keep-rate (percent) — upsample scarce langs, downsample en.
+RATES = {"en": 40, "de": 80, "fr": 80, "es": 80, "zh": 90}
+SPLITS = (80, 10, 10)  #: train/val/test percent
+
+
+@register(
+    "sample_stratified_hash",
+    f"""
+WITH bucketed AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5('s|' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 100 AS sbucket,
+         CAST('0x' || substr(md5('p|' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 100 AS pbucket
+  FROM documents
+), kept AS (
+  SELECT doc_id, lang, pbucket FROM bucketed
+  WHERE sbucket < CASE lang
+    WHEN 'en' THEN {RATES["en"]} WHEN 'de' THEN {RATES["de"]}
+    WHEN 'fr' THEN {RATES["fr"]} WHEN 'es' THEN {RATES["es"]}
+    WHEN 'zh' THEN {RATES["zh"]} ELSE 0 END
+)
+SELECT lang,
+       CASE WHEN pbucket < {SPLITS[0]} THEN 'train'
+            WHEN pbucket < {SPLITS[0] + SPLITS[1]} THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM kept GROUP BY 1, 2
+""",
+    doc="stratified sampling + train/val/test split via stable hash "
+    "buckets (no RNG): per-language keep-rates and split assignment are "
+    "pure functions of doc_id, so reruns/backfills select identical "
+    "rows; map-only, one tiny rollup shuffle",
+    tags=("sampling", "text"),
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+
+    def bucket(prefix: str) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(prefix + "|"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        )
+
+    rate = F.lit(0)
+    for lang, r in RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    kept = docs.withColumn("sbucket", bucket("s")).withColumn(
+        "pbucket", bucket("p")
+    ).filter(F.col("sbucket") < rate)
+    split = (
+        F.when(F.col("pbucket") < SPLITS[0], F.lit("train"))
+        .when(F.col("pbucket") < SPLITS[0] + SPLITS[1], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return kept.select("lang", split.alias("split"), "doc_id").groupBy(
+        "lang", "split"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+WITH ev AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), scaled AS (
+  SELECT vec_id, v,
+         list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS scale
+  FROM ev
+)
+SELECT vec_id, round(scale, 9) AS scale,
+       list_aggregate(
+         list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)),
+         'sum') AS q_sum,
+       list_aggregate(
+         list_transform(v, x -> abs(CAST(floor(x / scale + 0.5) AS BIGINT))),
+         'sum') AS q_l1
+FROM scaled
+""",
+    doc="symmetric per-vector int8 quantization (scale = max|x|/127), "
+    "verified element-exactly via integer sum/L1 checksums; map-only — "
+    "the compression pass before building a 100 TB ANN index",
+    tags=("similarity", "quantize"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    scaled = emb.withColumn(
+        "scale",
+        F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))) / F.lit(127.0),
+    )
+    # floor(x/scale + 0.5) instead of round(): identical IEEE ops in
+    # both engines (round() half-rule differs at exact .5)
+    q = F.transform(
+        F.col("v"),
+        lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("long"),
+    )
+    return scaled.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+        ).alias("q_l1"),
+    )
