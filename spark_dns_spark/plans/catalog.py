@@ -68,6 +68,7 @@ def catalog() -> dict[str, Query]:
         q_pipeline,
         q_cluster,
         q_sampling,
+        q_formats,
         q_connector,
     )
 
