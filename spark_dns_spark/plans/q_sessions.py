@@ -196,3 +196,26 @@ def sessionize_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     df = spark.read.parquet(out)
     return df.withColumn("sum_value", F.round("sum_value", 3))
+
+
+@register(
+    "tumbling_window_counts",
+    """
+SELECT date_trunc('hour', ts) AS w_start, event_type,
+       count(*) AS n, round(sum(value), 3) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    doc="tumbling event-time windows (1h) per event type — the same "
+    "F.window expression runs unchanged under readStream + watermark "
+    "(late-data behavior covered in tests/test_streaming_window.py)",
+    tags=("sessions", "window"),
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select("ts", "event_type", "value")
+    out = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 3).alias("sum_value"),
+    )
+    return out.select(
+        F.col("window.start").alias("w_start"), "event_type", "n", "sum_value"
+    )

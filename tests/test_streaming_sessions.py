@@ -66,6 +66,8 @@ def test_state_carries_across_batches(spark, tmp_path):
     second = [r for r in rows if r.ts >= split_ts]
     assert first and second
 
+    import time
+
     src = tmp_path / "src"
     src.mkdir()
     for i, chunk in enumerate((first, second)):
@@ -73,7 +75,12 @@ def test_state_carries_across_batches(spark, tmp_path):
         spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(str(d))
         for f in sorted(os.listdir(d)):
             if f.endswith(".parquet"):
-                os.rename(d / f, src / f"{i:02d}_{f}")
+                dst = src / f"{i:02d}_{f}"
+                os.rename(d / f, dst)
+                # distinct mtimes: the file source orders batches by
+                # modification time; a tie collapses both files into one
+                # micro-batch and the cross-batch claim tests nothing
+                os.utime(dst, (time.time() + i * 60,) * 2)
 
     stream = (
         spark.readStream.schema("ts timestamp, user_id long, value double")
