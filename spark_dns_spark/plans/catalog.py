@@ -69,6 +69,7 @@ def catalog() -> dict[str, Query]:
         q_cluster,
         q_sampling,
         q_formats,
+        q_skew,
         q_connector,
     )
 
