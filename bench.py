@@ -40,6 +40,7 @@ HEADLINE = [
     "multimodal_decode_features",
     "asof_join_last_error",
     "pipeline_curate_corpus",
+    "hypertable_rollup",
 ]
 
 

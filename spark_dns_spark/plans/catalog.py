@@ -70,6 +70,7 @@ def catalog() -> dict[str, Query]:
         q_sampling,
         q_formats,
         q_skew,
+        q_rollup_time,
         q_connector,
     )
 

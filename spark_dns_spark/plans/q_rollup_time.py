@@ -1,0 +1,133 @@
+"""Hierarchical time rollups (hypertable-style continuous aggregates)
+and incremental snapshot maintenance — the two patterns that turn a
+batch engine into an incremental one at 100 TB:
+
+- ``hypertable_rollup`` — minute → hour → day aggregates computed by
+  RE-AGGREGATING THE PREVIOUS LEVEL'S PARTIALS (sum-of-sums,
+  min-of-mins, count-of-counts), never rescanning raw events.  The
+  oracle computes every level directly from raw events, so the query
+  proves partial re-aggregation is lossless.
+- ``changelog_incremental_merge`` — materialized snapshot at T1 merged
+  with only the (T1, T2] delta must equal the from-scratch snapshot at
+  T2: the CDC-merge correctness property that lets a 100 TB snapshot be
+  maintained by touching only each batch's delta.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_dns_spark.operators import changelog as cl
+from spark_dns_spark.plans.catalog import register
+from spark_dns_spark.plans.feeds import DNS_CHANGES_CTE, dns_changes, load_events
+
+#: Midpoint cut for the incremental merge (events span 2024-01+).
+T_CUT = "2024-01-14 00:00:00"
+
+
+def _level_sql(trunc: str) -> str:
+    return f"""
+SELECT '{trunc}' AS level, date_trunc('{trunc}', ts) AS w_start,
+       count(*) AS n, round(sum(value), 3) AS sum_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 2
+"""
+
+
+@register(
+    "hypertable_rollup",
+    " UNION ALL ".join(_level_sql(t) for t in ("minute", "hour", "day")),
+    doc="continuous-aggregate hierarchy: hour re-aggregates the minute "
+    "partials, day re-aggregates hour (sum-of-sums / min-of-mins / "
+    "count-of-counts) — raw events are scanned exactly once; the "
+    "oracle computes all three levels directly, proving the partial "
+    "re-aggregation is lossless",
+    tags=("rollup", "window", "agg"),
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select("ts", "value")
+
+    def reagg(df: DataFrame, trunc: str, src_start: str) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc(trunc, F.col(src_start)).alias("w_start")
+        ).agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_raw").alias("sum_raw"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+
+    minute = ev.groupBy(F.date_trunc("minute", "ts").alias("w_start")).agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("sum_raw"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    hour = reagg(minute, "hour", "w_start")
+    day = reagg(hour, "day", "w_start")
+
+    def finish(df: DataFrame, level: str) -> DataFrame:
+        return df.select(
+            F.lit(level).alias("level"),
+            "w_start",
+            "n",
+            F.round("sum_raw", 3).alias("sum_value"),
+            "min_value",
+            "max_value",
+        )
+
+    return (
+        finish(minute, "minute")
+        .unionByName(finish(hour, "hour"))
+        .unionByName(finish(day, "day"))
+    )
+
+
+@register(
+    "changelog_incremental_merge",
+    DNS_CHANGES_CTE
+    + f"""
+SELECT fqdn, ip, action, ts FROM (
+  SELECT fqdn, ip, action, ts,
+         ROW_NUMBER() OVER (PARTITION BY fqdn, ip
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM dns_changes
+) WHERE rn = 1 AND action IN ('AXFR', 'IXFR_ADD')
+""",
+    doc="incremental snapshot maintenance: snapshot(<=T1) outer-merged "
+    "with latest-wins(delta (T1,T2]) equals snapshot(<=T2) computed from "
+    "scratch (the oracle) — the CDC-merge property that maintains a "
+    "100 TB snapshot touching only each batch's delta",
+    tags=("changelog", "incremental"),
+)
+def changelog_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feed = dns_changes(spark, sf_dir)
+    prev = feed.filter(F.col("ts") <= T_CUT)
+    delta = feed.filter(F.col("ts") > T_CUT)
+
+    # previous materialized state: latest row per key, adds AND deletes
+    # kept (a delete tombstone must shadow an older add at merge time)
+    prev_latest = cl.latest_wins(
+        prev, ["fqdn", "ip"], ts_col="ts", tiebreak=["event_id"]
+    ).select("fqdn", "ip", "action", "ts", "event_id")
+    delta_latest = cl.latest_wins(
+        delta, ["fqdn", "ip"], ts_col="ts", tiebreak=["event_id"]
+    ).select("fqdn", "ip", "action", "ts", "event_id")
+
+    # merge: delta wins wherever present (every delta ts > every prev ts)
+    merged = (
+        prev_latest.alias("p")
+        .join(
+            delta_latest.alias("d"),
+            ["fqdn", "ip"],
+            "full_outer",
+        )
+        .select(
+            "fqdn",
+            "ip",
+            F.coalesce(F.col("d.action"), F.col("p.action")).alias("action"),
+            F.coalesce(F.col("d.ts"), F.col("p.ts")).alias("ts"),
+        )
+    )
+    return merged.filter(F.col("action").isin(["AXFR", "IXFR_ADD"]))
