@@ -71,27 +71,36 @@ def _store_root(spark: SparkSession, sf_dir: str) -> str:
     )
     df = df.withColumn("zone", zone_from_fqdn("fqdn"))
 
-    from spark_dns_spark.sources.zonestore import ZoneStore
-
     w = Window.partitionBy("zone").orderBy("ts", "event_id")
-    rows = (
-        df.withColumn("serial", F.row_number().over(w))
-        .select("zone", "serial", "action", "fqdn", "ip")
-        .collect()  # fixture provisioning at test SF, not a query path
+    serialed = df.withColumn("serial", F.row_number().over(w)).select(
+        "zone", "serial", "action", "fqdn", "ip"
     )
-    by_zone: dict[str, list] = {}
-    for r in rows:
-        by_zone.setdefault(r.zone, []).append((r.serial, r.action, r.fqdn, r.ip))
     os.makedirs(root, exist_ok=True)
-    store = ZoneStore(str(root))
-    for zone, hist in by_zone.items():
-        hist.sort()
-        state: dict[tuple, bool] = {}
-        for _, action, fqdn, ip in hist:
-            state[(fqdn, ip)] = action in ("AXFR", "IXFR_ADD")
-        records = [k for k, alive in state.items() if alive]
-        store.create_zone(zone, records=records, serial=len(hist), history=hist)
-    marker.write_text(str(len(rows)))
+    root_s = str(root)
+
+    # Distributed provisioning: repartition co-locates each zone on one
+    # executor task, which builds and atomically writes that zone's
+    # store file — no driver collect, so the same path works when the
+    # feed is 100 TB and the "store" is a real server per zone.
+    def _write_zones(rows) -> None:
+        from spark_dns_spark.sources.zonestore import ZoneStore
+
+        by_zone: dict[str, list] = {}
+        for r in rows:
+            by_zone.setdefault(r.zone, []).append(
+                (r.serial, r.action, r.fqdn, r.ip)
+            )
+        store = ZoneStore(root_s)
+        for zone, hist in by_zone.items():
+            hist.sort()
+            state: dict[tuple, bool] = {}
+            for _, action, fqdn, ip in hist:
+                state[(fqdn, ip)] = action in ("AXFR", "IXFR_ADD")
+            records = [k for k, alive in state.items() if alive]
+            store.create_zone(zone, records=records, serial=len(hist), history=hist)
+
+    serialed.repartition("zone").foreachPartition(_write_zones)
+    marker.write_text("provisioned")
     return str(root)
 
 
