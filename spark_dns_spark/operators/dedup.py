@@ -4,13 +4,11 @@ Four tiers, in order of cost at 100 TB:
 
 1. **Exact** (:func:`exact_dedup`) — hash-groupBy on content digest; one
    shuffle, AQE-splittable.
-2. **Prefix fingerprint** (:func:`fingerprint`) — cheap content-defined
-   key (min-shingle-hash); map-only, then one shuffle to group.
-3. **MinHash + LSH** (:func:`minhash_signature`, :func:`lsh_candidates`)
+2. **MinHash + LSH** (:func:`minhash_signature`, :func:`lsh_candidates`)
    — the scale path for near-dup: map-only signature (no explode), one
    shuffle on band keys, candidate verification joins only bucket-mates.
    Never all-pairs.
-4. **SimHash** (:func:`simhash64`) — bitwise fingerprint; hamming-ball
+3. **SimHash** (:func:`simhash64`) — bitwise fingerprint; hamming-ball
    candidates via band bucketing.
 
 All hashing uses :func:`portable_hash60` (md5-prefix parsed base-16) so

@@ -1,0 +1,73 @@
+"""Physical-plan audit for every catalog query — the scale checklist as
+a report: join strategies, nested-loop red flags, pushdown reaching the
+scans, and exchange counts.
+
+Usage:  python tools/plan_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+#: Queries that run real streaming jobs when built — skip planning them.
+SKIP = {"dns_stream_sink_roundtrip", "sessionize_stream_stateful"}
+
+#: Documented deliberate small-broadcast nested loops.
+BNLJ_OK = {"similarity_topk_bruteforce", "similarity_topk_ivf"}
+
+
+def audit(name: str, plan: str) -> tuple[str, str]:
+    """Return (verdict, detail) for one executed plan."""
+    joins = {
+        "BHJ": plan.count("BroadcastHashJoin"),
+        "SMJ": plan.count("SortMergeJoin"),
+        "SHJ": plan.count("ShuffledHashJoin"),
+        "BNLJ": plan.count("BroadcastNestedLoopJoin"),
+        "CART": plan.count("CartesianProduct"),
+    }
+    exchanges = len(re.findall(r"Exchange (?:hash|range|Single)", plan))
+    pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
+    detail = (
+        ", ".join(f"{k}={v}" for k, v in joins.items() if v)
+        or "no joins"
+    )
+    detail += f"; exchanges={exchanges}; scans-with-pushdown={pushed}"
+    bad = (joins["BNLJ"] or joins["CART"]) and name not in BNLJ_OK
+    return ("FLAG" if bad else "ok  "), detail
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from spark_dns_spark.session import get_session
+
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and Path(args[0]).is_dir() else "/root/testdata/sf0.01"
+    only = args[1:] if args and Path(args[0]).is_dir() else args
+
+    spark = get_session("plan-audit")
+    qs = entrymod.queries()
+    flagged = []
+    for name in only or sorted(qs):
+        if name in SKIP:
+            continue
+        try:
+            df = qs[name](spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # pragma: no cover - report and continue
+            print(f"ERR  {name}: {e}")
+            flagged.append(name)
+            continue
+        verdict, detail = audit(name, plan)
+        if verdict == "FLAG":
+            flagged.append(name)
+        print(f"{verdict} {name}: {detail}")
+    print(f"\n{len(flagged)} flagged" + (f": {' '.join(flagged)}" if flagged else ""))
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
