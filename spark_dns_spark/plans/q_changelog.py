@@ -344,3 +344,40 @@ def q_chronological_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ts").desc(), F.col("event_id").desc())
         .limit(100)
     )
+
+
+@register(
+    "dns_typosquat_levenshtein",
+    DNS_CHANGES_CTE
+    + """
+SELECT a.zone AS zone_a, b.zone AS zone_b,
+       levenshtein(a.zone, b.zone) AS dist
+FROM (SELECT DISTINCT CASE WHEN z LIKE '%.' THEN z ELSE z || '.' END AS zone
+      FROM (SELECT regexp_replace(
+              CASE WHEN fqdn LIKE '%.' THEN fqdn ELSE fqdn || '.' END,
+              '^[^.]+\\.', '') AS z FROM dns_changes)) a
+JOIN (SELECT DISTINCT CASE WHEN z LIKE '%.' THEN z ELSE z || '.' END AS zone
+      FROM (SELECT regexp_replace(
+              CASE WHEN fqdn LIKE '%.' THEN fqdn ELSE fqdn || '.' END,
+              '^[^.]+\\.', '') AS z FROM dns_changes)) b
+  ON a.zone < b.zone
+WHERE levenshtein(a.zone, b.zone) <= 2
+""",
+    doc="typosquat detection: zone pairs within Levenshtein distance 2 "
+    "— the classic DNS-abuse analytic; the distinct-zone self-join is "
+    "tiny (zones, not fqdns), so all-pairs is the right plan here",
+    tags=("changelog", "scalar", "dns"),
+)
+def dns_typosquat_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    zones = (
+        dns_changes(spark, sf_dir)
+        .select(zone_from_fqdn("fqdn").alias("zone"))
+        .distinct()
+    )
+    a = zones.select(F.col("zone").alias("zone_a"))
+    b = zones.select(F.col("zone").alias("zone_b"))
+    return (
+        a.join(b, F.col("zone_a") < F.col("zone_b"))
+        .withColumn("dist", F.levenshtein("zone_a", "zone_b"))
+        .filter(F.col("dist") <= 2)
+    )

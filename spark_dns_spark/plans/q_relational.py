@@ -415,3 +415,80 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
     )
+
+
+@register(
+    "segment_intersect_except",
+    """
+SELECT 'intersect' AS op, seg FROM (
+  SELECT c_mktsegment AS seg FROM customer WHERE c_acctbal > 5000
+  INTERSECT
+  SELECT c_mktsegment AS seg FROM customer WHERE c_acctbal < 1000
+)
+UNION ALL
+SELECT 'except' AS op, seg FROM (
+  SELECT o_orderpriority AS seg FROM orders WHERE o_totalprice > 100000
+  EXCEPT
+  SELECT o_orderpriority AS seg FROM orders WHERE o_orderstatus = 'F'
+)
+""",
+    doc="set-op breadth (§2.7): INTERSECT and EXCEPT (distinct "
+    "semantics) in one tagged result",
+    tags=("relational", "set"),
+)
+def segment_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    inter = (
+        cust.filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_mktsegment").alias("seg"))
+        .intersect(
+            cust.filter(F.col("c_acctbal") < 1000).select(
+                F.col("c_mktsegment").alias("seg")
+            )
+        )
+    )
+    # subtract = SQL EXCEPT (set difference); exceptAll would be the
+    # multiset variant and keep rows whose occurrence count exceeds the
+    # right side's
+    exc = (
+        orders.filter(F.col("o_totalprice") > 100000)
+        .select(F.col("o_orderpriority").alias("seg"))
+        .subtract(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                F.col("o_orderpriority").alias("seg")
+            )
+        )
+    )
+    return inter.select(F.lit("intersect").alias("op"), "seg").unionByName(
+        exc.select(F.lit("except").alias("op"), "seg")
+    )
+
+
+@register(
+    "customers_order_stats_left",
+    """
+SELECT c_mktsegment,
+       count(DISTINCT c_custkey) AS n_customers,
+       count(o_orderkey) AS n_orders,
+       count(DISTINCT CASE WHEN o_orderkey IS NULL THEN c_custkey END)
+         AS n_orderless
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+""",
+    doc="left-outer join with null-aware aggregation: customers without "
+    "orders survive the join as null-extended rows and are counted "
+    "separately — the outer-join tier of the §2.3 join family",
+    tags=("relational", "join", "outer"),
+)
+def customers_order_stats_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+    return j.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_custkey").alias("n_customers"),
+        F.count("o_orderkey").alias("n_orders"),
+        F.countDistinct(
+            F.when(F.col("o_orderkey").isNull(), F.col("c_custkey"))
+        ).alias("n_orderless"),
+    )

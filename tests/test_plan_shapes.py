@@ -13,8 +13,14 @@ import pytest
 from pyspark.sql import functions as F
 
 #: Deliberate nested-loop plans: the brute-force exact baseline (query
-#: side broadcast) and the IVF centroid assignment (ncells-row broadcast).
-BNLJ_WHITELIST = {"similarity_topk_bruteforce", "similarity_topk_ivf"}
+#: side broadcast), the IVF centroid assignment (ncells-row broadcast),
+#: and the typosquat detector (all-pairs over the tiny DISTINCT-zone
+#: set — zones, not rows; documented at the query).
+BNLJ_WHITELIST = {
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "dns_typosquat_levenshtein",
+}
 
 #: Queries that run their own streaming jobs — planned separately.
 SKIP = {"dns_stream_sink_roundtrip", "sessionize_stream_stateful"}

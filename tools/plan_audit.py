@@ -17,7 +17,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 SKIP = {"dns_stream_sink_roundtrip", "sessionize_stream_stateful"}
 
 #: Documented deliberate small-broadcast nested loops.
-BNLJ_OK = {"similarity_topk_bruteforce", "similarity_topk_ivf"}
+BNLJ_OK = {
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "dns_typosquat_levenshtein",
+}
 
 
 def audit(name: str, plan: str) -> tuple[str, str]:
