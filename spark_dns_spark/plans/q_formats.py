@@ -18,7 +18,8 @@ from spark_dns_spark.plans.catalog import register
 from spark_dns_spark.plans.feeds import load_events
 
 _AGG_SQL = """
-SELECT event_type, count(*) AS n, round(sum(value), 3) AS sum_value,
+SELECT event_type, count(*) AS n,
+       sum(CAST(floor(value * 1000 + 0.5) AS BIGINT))::BIGINT AS value_milli,
        min(event_id) AS min_id, max(event_id) AS max_id
 FROM events GROUP BY event_type
 """
@@ -46,7 +47,11 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
         ).json(path)
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("value"), 3).alias("sum_value"),
+        # milli-int sum: order-proof across engines AND proves the text
+        # round-trip was value-exact (any serde drift would shift it).
+        F.sum(F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")).alias(
+            "value_milli"
+        ),
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )

@@ -68,7 +68,7 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_binary_dedup",
     """
 SELECT digest, min(doc_id) AS canonical_id, count(*) AS n_copies,
-       sum(n_bytes) AS total_bytes
+       sum(n_bytes)::BIGINT AS total_bytes
 FROM (SELECT doc_id, md5(text) AS digest, strlen(text) AS n_bytes
       FROM documents)
 GROUP BY digest

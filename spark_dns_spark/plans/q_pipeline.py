@@ -19,6 +19,10 @@ from spark_dns_spark.plans.q_text import STOPWORDS, _marker_hits, _marker_hits_s
 from spark_dns_spark.session import load_table, spread
 
 MIN_QUALITY = 0.70
+#: integer threshold on floor(quality*1e4 + 0.5) — pure-IEEE rounding
+#: BEFORE the cut so a last-ulp blend difference between engines can't
+#: flip a doc across the boundary (catalog conventions / VERDICT r2).
+MIN_QUALITY_E4 = 7000
 MIN_WORDS = 20
 
 
@@ -28,7 +32,7 @@ MIN_WORDS = 20
 WITH feat AS (
   SELECT doc_id, lang, md5(text) AS digest,
          len(string_split(text, ' ')) AS n_words,
-         0.35 * least(len(string_split(text, ' ')) / 80, 1)
+         floor((0.35 * least(len(string_split(text, ' ')) / 80, 1)
          + 0.35 * (1 - CASE WHEN len(string_split(text, ' ')) > 0
                             THEN {_marker_hits_sql("string_split(text, ' ')", STOPWORDS)}
                                  / len(string_split(text, ' '))
@@ -36,15 +40,17 @@ WITH feat AS (
          + 0.30 * CASE WHEN length(text) > 0
                        THEN length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
                             / length(text)
-                       ELSE 0 END AS quality
+                       ELSE 0 END) * 10000 + 0.5) AS quality_e4
   FROM documents
 ), kept AS (
-  SELECT * FROM feat WHERE quality >= {MIN_QUALITY} AND n_words >= {MIN_WORDS}
+  SELECT * FROM feat
+  WHERE quality_e4 >= {MIN_QUALITY_E4} AND n_words >= {MIN_WORDS}
 ), canon AS (
-  SELECT digest, min(doc_id) AS keep_id FROM kept GROUP BY digest
+  SELECT digest AS canon_digest, min(doc_id) AS keep_id
+  FROM kept GROUP BY digest
 )
-SELECT lang, count(*) AS n_docs, sum(n_words) AS total_words
-FROM kept JOIN canon ON kept.digest = canon.digest
+SELECT lang, count(*) AS n_docs, sum(n_words)::BIGINT AS total_words
+FROM kept JOIN canon ON kept.digest = canon.canon_digest
                     AND kept.doc_id = canon.keep_id
 GROUP BY lang
 """,
@@ -75,12 +81,18 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.md5("text").alias("digest"),
         n_words.alias("n_words"),
-        quality.alias("quality"),
-    ).filter((F.col("quality") >= MIN_QUALITY) & (F.col("n_words") >= MIN_WORDS))
-    canon = kept.groupBy("digest").agg(F.min("doc_id").alias("keep_id"))
+        F.floor(quality * 10000 + F.lit(0.5)).alias("quality_e4"),
+    ).filter(
+        (F.col("quality_e4") >= MIN_QUALITY_E4) & (F.col("n_words") >= MIN_WORDS)
+    )
+    # Alias the aggregated digest so the self-derived join can't resolve
+    # to a trivially-true `digest == digest` predicate under refactor.
+    canon = kept.groupBy("digest").agg(F.min("doc_id").alias("keep_id")).select(
+        F.col("digest").alias("canon_digest"), "keep_id"
+    )
     curated = kept.join(
         canon,
-        (kept.digest == canon.digest) & (kept.doc_id == canon.keep_id),
+        (kept.digest == canon.canon_digest) & (kept.doc_id == canon.keep_id),
     )
     return curated.groupBy("lang").agg(
         F.count("*").alias("n_docs"),

@@ -27,9 +27,13 @@ T_CUT = "2024-01-14 00:00:00"
 
 
 def _level_sql(trunc: str) -> str:
+    # value summed as milli-int units: order-proof across engines AND
+    # across the partial re-aggregation levels (int sum is associative;
+    # a rounded double sum is not).
     return f"""
 SELECT '{trunc}' AS level, date_trunc('{trunc}', ts) AS w_start,
-       count(*) AS n, round(sum(value), 3) AS sum_value,
+       count(*) AS n,
+       sum(CAST(floor(value * 1000 + 0.5) AS BIGINT))::BIGINT AS value_milli,
        min(value) AS min_value, max(value) AS max_value
 FROM events GROUP BY 2
 """
@@ -60,7 +64,9 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     minute = ev.groupBy(F.date_trunc("minute", "ts").alias("w_start")).agg(
         F.count("*").alias("n"),
-        F.sum("value").alias("sum_raw"),
+        F.sum(F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")).alias(
+            "sum_raw"
+        ),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
@@ -72,7 +78,7 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(level).alias("level"),
             "w_start",
             "n",
-            F.round("sum_raw", 3).alias("sum_value"),
+            F.col("sum_raw").alias("value_milli"),
             "min_value",
             "max_value",
         )

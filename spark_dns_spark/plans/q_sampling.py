@@ -103,13 +103,13 @@ WITH ev AS (
          list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS scale
   FROM ev
 )
-SELECT vec_id, round(scale, 9) AS scale,
+SELECT vec_id, floor(scale * 1e9 + 0.5) / 1e9 AS scale,
        list_aggregate(
          list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)),
-         'sum') AS q_sum,
+         'sum')::BIGINT AS q_sum,
        list_aggregate(
          list_transform(v, x -> abs(CAST(floor(x / scale + 0.5) AS BIGINT))),
-         'sum') AS q_l1
+         'sum')::BIGINT AS q_l1
 FROM scaled
 """,
     doc="symmetric per-vector int8 quantization (scale = max|x|/127), "
@@ -133,7 +133,9 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scaled.select(
         "vec_id",
-        F.round("scale", 9).alias("scale"),
+        (F.floor(F.col("scale") * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)).alias(
+            "scale"
+        ),
         F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
         F.aggregate(
             q, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)

@@ -40,7 +40,7 @@ WITH lagged AS (
   FROM lagged
 ), sess AS (
   SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,
@@ -48,7 +48,7 @@ SELECT user_id, session_id,
        max(ts) AS session_end,
        epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
        count(*) AS n_events,
-       round(sum(value), 3) AS sum_value
+       sum(CAST(floor(value * 1000 + 0.5) AS BIGINT))::BIGINT AS value_milli
 FROM sess GROUP BY user_id, session_id
 """,
     doc="gap-and-island sessionization (30-min inactivity gap): lag + "
@@ -76,7 +76,12 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duration_us"
         ),
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 3).alias("sum_value"),
+        # integer-exact checksum: round each value to milli-units BEFORE
+        # summing so cross-engine float-summation order can't move the
+        # aggregate (a rounded double sum is NOT order-proof — VERDICT r2).
+        F.sum(F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")).alias(
+            "value_milli"
+        ),
     )
 
 

@@ -271,18 +271,20 @@ WITH feat AS (
   FROM documents
 ), scored AS (
   SELECT source, n_words,
-         0.35 * least(n_words / 80, 1)
+         floor((0.35 * least(n_words / 80, 1)
          + 0.35 * (1 - CASE WHEN n_words > 0
                             THEN stop_hits / n_words ELSE 0 END)
          + 0.30 * CASE WHEN n_chars > 0
-                       THEN n_clean / n_chars ELSE 0 END AS quality
+                       THEN n_clean / n_chars ELSE 0 END) * 10000 + 0.5)
+           AS quality_e4
   FROM feat
 )
 SELECT source,
        count(*) AS n_docs,
-       sum(CASE WHEN quality >= 0.75 THEN 1 ELSE 0 END) AS n_high_quality,
-       sum(n_words) AS total_words,
-       round(sum(n_words) / count(*), 2) AS avg_words
+       sum(CASE WHEN quality_e4 >= 7500 THEN 1 ELSE 0 END)::BIGINT
+         AS n_high_quality,
+       sum(n_words)::BIGINT AS total_words,
+       floor((sum(n_words) / count(*)) * 100 + 0.5) / 100 AS avg_words
 FROM scored GROUP BY source
 """
 
@@ -309,11 +311,17 @@ def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.30) * alnum_frac
     )
     feat = docs.select(
-        "source", n_words.alias("n_words"), quality.alias("quality")
+        "source",
+        n_words.alias("n_words"),
+        # floor-round the blend BEFORE the threshold (same rule as
+        # text_quality_score) so a last-ulp cross-engine difference
+        # can't flip a doc across the 0.75 cut.
+        F.floor(quality * 10000 + F.lit(0.5)).alias("quality_e4"),
     )
     return feat.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.sum((F.col("quality") >= 0.75).cast("long")).alias("n_high_quality"),
+        F.sum((F.col("quality_e4") >= 7500).cast("long")).alias("n_high_quality"),
         F.sum("n_words").alias("total_words"),
-        F.round(F.sum("n_words") / F.count("*"), 2).alias("avg_words"),
+        (F.floor((F.sum("n_words") / F.count("*")) * 100 + F.lit(0.5)) / 100)
+        .alias("avg_words"),
     )

@@ -3,7 +3,16 @@
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
 DuckDB over the same sf dir, then compares row count, column names, and
 an order-insensitive value hash (columns sorted by name, rows sorted,
-values stringified with float rounding).
+values stringified with full precision).
+
+STRICTER than it looks: both result sets are materialized through
+pandas (Spark ``toPandas()``, DuckDB ``.df()``) because that is how a
+driver-side comparator sees them — e.g. DuckDB ``sum(BIGINT)`` returns
+HUGEINT, which pandas renders as float64, so ``500`` vs ``500.0``
+IS a mismatch here (cast such sums ``::BIGINT`` in the oracle SQL).
+Floats are stringified at full ``repr`` precision: a query only passes
+if it is bit-deterministic across engines (use the floor-round tricks
+from the catalog conventions, never bare ``round()`` on a blend).
 
 Usage:  python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -20,6 +29,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import duckdb  # noqa: E402
 
+
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings".split()
@@ -27,15 +37,47 @@ TABLES = (
 
 
 def _norm(v):
+    import numpy as np
+
     if v is None:
         return "NULL"
-    if isinstance(v, float):
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        return repr(float(v))
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, np.datetime64):
+        return v.astype("datetime64[us]").item().isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    if hasattr(v, "isoformat"):  # pandas.Timestamp
+        return v.tz_localize(None).isoformat() if getattr(v, "tz", None) else v.isoformat()
     return str(v)
+
+
+def _pandas_rows(df):
+    """(colnames, rows) from a pandas frame, NaN→None for object cols."""
+    cols = list(df.columns)
+    rows = []
+    for tup in df.itertuples(index=False, name=None):
+        rows.append(tuple(None if _is_na_scalar(x) else x for x in tup))
+    return cols, rows
+
+
+def _is_na_scalar(x):
+    import pandas as pd
+
+    if isinstance(x, (list, tuple)) or hasattr(x, "__array__"):
+        return False
+    try:
+        return pd.isna(x)
+    except (TypeError, ValueError):
+        return False
 
 
 def table_hash(rows, colnames):
@@ -68,8 +110,7 @@ def run(sf_dir: str, only: list[str]) -> int:
     for name in names:
         try:
             sdf = qs[name](spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            scols, srows = _pandas_rows(sdf.toPandas())
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failed.append(name)
@@ -78,9 +119,7 @@ def run(sf_dir: str, only: list[str]) -> int:
             print(f"ok   {name}: rows-only ({len(srows)} rows, no oracle)")
             continue
         try:
-            cur = con.execute(oracles[name])
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            dcols, drows = _pandas_rows(con.execute(oracles[name]).df())
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failed.append(name)
