@@ -214,6 +214,34 @@ def simhash64(token_hashes: Column, bits: int = 60) -> Column:
     return out
 
 
+def simhash_agg(
+    df, id_col: str = "doc_id", hashes_col: str = "hs", bits: int = 60
+):
+    """(id, simhash) via explode + codegen'd per-bit vote sums.
+
+    Semantically identical to :func:`simhash64` (bit j set iff strictly
+    more ones than zeros; ties → 0) but executes as ONE whole-stage-
+    codegen hash aggregate over exploded token hashes instead of
+    ``bits`` interpreted higher-order array traversals per row — ~10x
+    faster, and the right 100 TB shape anyway: partial aggregation
+    combines map-side, so the shuffle carries 61 longs per document
+    regardless of document width.
+    """
+    ex = df.select(id_col, F.explode(hashes_col).alias("_h"))
+    ones = [
+        F.sum(F.shiftright("_h", j).bitwiseAND(F.lit(1))).alias(f"_b{j}")
+        for j in range(bits)
+    ]
+    per_doc = ex.groupBy(id_col).agg(F.count("*").alias("_n"), *ones)
+    sim = F.lit(0).cast("long")
+    for j in range(bits):
+        # votes = ones - (n - ones) > 0  ⟺  2*ones > n
+        sim = sim + F.when(
+            F.col(f"_b{j}") * 2 > F.col("_n"), F.lit(2**j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return per_doc.select(id_col, sim.alias("simhash"))
+
+
 def simhash64_sql(token_hashes_expr: str, bits: int = 60) -> str:
     return (
         "list_aggregate(list_transform(generate_series(0, {b}), j -> "

@@ -381,3 +381,112 @@ def dns_typosquat_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist", F.levenshtein("zone_a", "zone_b"))
         .filter(F.col("dist") <= 2)
     )
+
+
+@register(
+    "dns_typosquat_blocked",
+    DNS_CHANGES_CTE
+    + """
+, zones AS (
+  SELECT DISTINCT CASE WHEN z LIKE '%.' THEN z ELSE z || '.' END AS zone
+  FROM (SELECT regexp_replace(
+          CASE WHEN fqdn LIKE '%.' THEN fqdn ELSE fqdn || '.' END,
+          '^[^.]+\\.', '') AS z FROM dns_changes)
+), parts AS (
+  SELECT zone,
+         string_split(zone, '.')[1] AS sll,
+         substr(zone, length(string_split(zone, '.')[1]) + 2) AS tld,
+         length(string_split(zone, '.')[1]) AS l
+  FROM zones
+), affixes AS (
+  SELECT zone, l, tld, 'p' AS tag, substr(sll, 1, 2) AS affix FROM parts
+  UNION ALL
+  SELECT zone, l, tld, 's' AS tag,
+         substr(sll, greatest(l - 1, 1), 2) AS affix FROM parts
+), probe AS (
+  SELECT zone, l + dl AS lk, tld, tag, affix
+  FROM affixes, (SELECT unnest(generate_series(-2, 2)) AS dl)
+)
+SELECT DISTINCT a.zone AS zone_a, b.zone AS zone_b,
+       levenshtein(a.zone, b.zone) AS dist
+FROM affixes a JOIN probe b
+  ON a.tag = b.tag AND a.affix = b.affix AND a.tld = b.tld AND a.l = b.lk
+ AND a.zone < b.zone
+WHERE levenshtein(a.zone, b.zone) <= 2
+""",
+    doc="typosquat detection with 100x-safe blocking: each zone's "
+    "second-level label emits (prefix-2, tld, len) and (suffix-2, tld, "
+    "len) index keys plus probe keys over len±2, so candidates come from "
+    "an EQUI-join on (tag, affix, tld, len) and levenshtein only verifies "
+    "bucket-mates — never all-pairs (millions of zones => 10^12 pairs in "
+    "the all-pairs form).  Precision-oriented recall: a pair editing BOTH "
+    "the first two and last two label chars is missed, the same banding "
+    "tradeoff as dedup_simhash; the all-pairs sibling query remains the "
+    "exact baseline",
+    tags=("changelog", "scalar", "dns", "blocking"),
+)
+def dns_typosquat_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    zones = (
+        dns_changes(spark, sf_dir)
+        .select(zone_from_fqdn("fqdn").alias("zone"))
+        .distinct()
+    )
+    sll = F.substring_index("zone", ".", 1)
+    parts = zones.select(
+        "zone",
+        sll.alias("sll"),
+        F.expr(
+            "substring(zone, length(substring_index(zone, '.', 1)) + 2)"
+        ).alias("tld"),
+        F.length(sll).alias("l"),
+    )
+    affixes = parts.select(
+        "zone",
+        "l",
+        "tld",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("p").alias("tag"),
+                    F.substring("sll", 1, 2).alias("affix"),
+                ),
+                F.struct(
+                    F.lit("s").alias("tag"),
+                    F.col("sll")
+                    .substr(F.greatest(F.col("l") - 1, F.lit(1)), F.lit(2))
+                    .alias("affix"),
+                ),
+            )
+        ).alias("k"),
+    ).select("zone", "l", "tld", F.col("k.tag").alias("tag"), F.col("k.affix").alias("affix"))
+    probe = affixes.select(
+        "zone",
+        "tld",
+        "tag",
+        "affix",
+        F.explode(F.array(*[F.lit(d) for d in range(-2, 3)])).alias("dl"),
+        "l",
+    ).select(
+        F.col("zone").alias("zone_b"),
+        (F.col("l") + F.col("dl")).alias("lk"),
+        F.col("tld").alias("tld_b"),
+        F.col("tag").alias("tag_b"),
+        F.col("affix").alias("affix_b"),
+    )
+    return (
+        affixes.join(
+            probe,
+            (F.col("tag") == F.col("tag_b"))
+            & (F.col("affix") == F.col("affix_b"))
+            & (F.col("tld") == F.col("tld_b"))
+            & (F.col("l") == F.col("lk"))
+            & (F.col("zone") < F.col("zone_b")),
+        )
+        .select(
+            F.col("zone").alias("zone_a"),
+            "zone_b",
+            F.levenshtein(F.col("zone"), F.col("zone_b")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+        .distinct()
+    )

@@ -266,9 +266,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.split("text", " ")), lambda w: portable_hash60(w)
         ).alias("hs"),
     ).filter(F.size("hs") > 0)
-    # persist(): simhash64 is a 60-term majority-vote expression whose
-    # lineage otherwise re-runs on both sides of the band self-join.
-    sh = th.select("doc_id", dd.simhash64(F.col("hs")).alias("simhash")).persist()
+    # explode + codegen hash-agg (simhash_agg) instead of 60 interpreted
+    # array traversals — the simhash compute was 80% of this query's
+    # wall-clock; persist() because the result feeds both sides of the
+    # band self-join.
+    sh = dd.simhash_agg(th, "doc_id", "hs").persist()
     m = F.lit(1048575)  # 2^20 - 1
     bands = sh.select(
         "doc_id",
