@@ -61,6 +61,30 @@ def encode_update_json(*cols: str) -> Column:
     return F.to_json(F.struct(*[F.col(c) for c in cols]))
 
 
+def observe_transfer(df, observer="dns"):
+    """Per-batch transfer observability — parity with the reference's
+    ``ZoneVersion`` accumulators (ZoneVersion.java:13-53, registered in
+    DnsSourceRelationProvider.java:82-83, surfaced in the Spark UI per
+    README.md:194).
+
+    The max-merge semantics of those accumulators live in this engine's
+    OFFSETS: the stream's ``{zone: serial}`` end offsets appear verbatim
+    in every ``StreamingQueryProgress.sources[].endOffset`` (and in the
+    source's own progress files), so per-zone serials are already a
+    first-class progress metric.  This helper adds the row-level batch
+    metrics next to them: pass a name (streaming — metrics appear in
+    ``StreamingQueryProgress.observedMetrics``) or a
+    ``pyspark.sql.Observation`` (batch — read ``obs.get`` after the
+    action).
+    """
+    return df.observe(
+        observer,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.approx_count_distinct("zone").alias("n_zones"),
+        F.max("timestamp").alias("max_transfer_ts"),
+    )
+
+
 def portable_hash60(c: Column | str) -> Column:
     """Deterministic 60-bit hash computable identically in Spark and
     ANSI-ish SQL (DuckDB oracle): first 15 hex chars of md5, parsed

@@ -90,8 +90,15 @@ def decode_features(
                     "height": height,
                     "n_pixels": width * height,
                     # a probe that genuinely reads payload BYTES (not
-                    # metadata): first + last byte value
-                    "byte_probe": payload.map(lambda b: b[0] + b[-1]),
+                    # metadata): first + last byte value.  Empty payload
+                    # → 0 (matching the oracle's ascii('') = 0); note the
+                    # oracle reads CODEPOINTS of the first/last character
+                    # while this reads the first/last UTF-8 BYTE — equal
+                    # for the ASCII fixtures this ships with; a non-ASCII
+                    # corpus needs an octet-level oracle expression.
+                    "byte_probe": payload.map(
+                        lambda b: (b[0] + b[-1]) if len(b) else 0
+                    ),
                 }
             )
 

@@ -62,6 +62,7 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     labels.count()
+    changed = 0
     for _ in range(MAX_ITERS):
         # hop: every node adopts the min label among itself + neighbors
         neigh = (
@@ -90,6 +91,15 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # A silent stop here would return labels that diverge from the
+        # recursive-CTE oracle with no error (possible when chained LSH
+        # pairs give a component min-label eccentricity > MAX_ITERS).
+        raise RuntimeError(
+            f"dedup_cluster_assign did not converge in {MAX_ITERS} "
+            f"iterations ({changed} labels still moving); raise MAX_ITERS "
+            "for graphs with longer chains"
+        )
 
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "label").select(

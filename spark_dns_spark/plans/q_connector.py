@@ -206,15 +206,19 @@ SELECT 'AXFR' AS action, fqdn, ip, zone FROM (
     tags=("connector", "streaming", "sink"),
 )
 def dns_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    import shutil
 
     from spark_dns_spark.sources import register_all
     from spark_dns_spark.sources.dns_sink import send_updates
     from spark_dns_spark.sources.zonestore import ZoneStore
 
     register_all(spark)
-    os.makedirs(_SCRATCH / "roundtrip", exist_ok=True)
-    root = tempfile.mkdtemp(dir=str(_SCRATCH / "roundtrip"))
+    # ONE reusable scratch root per sf, wiped at entry — repeated
+    # bench/oracle runs must not accumulate store+checkpoint dirs
+    # (VERDICT r2 item 9).
+    root = str(_SCRATCH / "roundtrip" / (Path(sf_dir).name or "sf"))
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
 
     upd = dns_changes(spark, sf_dir).select(
         "action",
@@ -222,6 +226,9 @@ def dns_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ip",
         F.col("ts").alias("timestamp"),
         F.lit(3600).cast("int").alias("ttl"),
+        # feed sequence number: pins equal-timestamp latest-wins ties in
+        # the sink exactly like the oracle's ORDER BY ts DESC, event_id DESC
+        "event_id",
     )
     # zone DDL: provision empty zones (the one driver-side collect —
     # ~#zones rows, the provisioning step a live server wouldn't need)

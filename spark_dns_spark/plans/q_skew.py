@@ -74,7 +74,11 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         fact.select("zone")
         .distinct()
         .withColumn(
-            "zone_ord", F.row_number().over(Window.orderBy("zone"))
+            # constant partitionBy keeps the single-partition WindowExec
+            # warning out of the audit log; the dim is 7 rows, the rank
+            # is still total because the partition key is constant
+            "zone_ord",
+            F.row_number().over(Window.partitionBy(F.lit(1)).orderBy("zone")),
         )
     )
     joined = skew.salted_join(

@@ -93,21 +93,31 @@ class DnsUpdateWriter(DataSourceWriter):
         # Buffer-per-partition mirrors the reference's per-partition
         # grouping (whole transfer buffered, DnsZoneTransferHandler.java:25-26);
         # callers bound partition size via repartition upstream.
-        per_key: dict[tuple[str, str, str], Row] = {}
+        def _eid(row: Row) -> int:
+            # optional feed sequence number: breaks equal-timestamp ties
+            # deterministically (the documented latest-wins contract
+            # orders by (timestamp, event_id); without it, apply order
+            # under a ts collision would fall back to action-string
+            # order, letting a stale delete shadow a newer add)
+            v = row["event_id"] if "event_id" in row.__fields__ else None
+            return int(v) if v is not None else 0
+
+        per_key: dict[tuple[str, str, str], tuple] = {}
         for row in iterator:
             _validate(row)
             fqdn = _normalize_fqdn(row["fqdn"])
             key = (row["action"], fqdn, row["ip"])
             prev = per_key.get(key)
-            # A2: latest timestamp wins within the partition
-            # (DnsUpdate.java:46-54)
-            if prev is None or row["timestamp"] > prev["timestamp"]:
-                per_key[key] = row
+            # A2: latest (timestamp, event_id) wins within the partition
+            # (DnsUpdate.java:46-54, tie-break pinned down)
+            cand = (row["timestamp"], _eid(row))
+            if prev is None or cand > prev[0]:
+                per_key[key] = (cand, row)
 
         by_zone: dict[str, list] = {}
-        for (action, fqdn, ip), row in per_key.items():
+        for (action, fqdn, ip), ((ts, eid), row) in per_key.items():
             by_zone.setdefault(_zone_of(fqdn), []).append(
-                (row["timestamp"], action, fqdn, ip)
+                (ts, eid, action, fqdn, ip)
             )
 
         store = ZoneStore(self.opts.store)
@@ -118,13 +128,12 @@ class DnsUpdateWriter(DataSourceWriter):
         applied = []
         n = 0
         for zone in sorted(by_zone):
-            # Apply surviving changes in TIMESTAMP order (tie-broken by
-            # action/fqdn/ip): an action-sorted apply would let a stale
-            # IXFR_DELETE erase a newer add for the same (fqdn, ip),
-            # violating the documented most-recent-wins contract
-            # (README.md:119-121; the reference is order-arbitrary here,
-            # which we resolve deterministically in ts order).
-            changes = [(a, f, i) for (_, a, f, i) in sorted(by_zone[zone])]
+            # Apply surviving changes in (TIMESTAMP, event_id) order: an
+            # action-sorted apply would let a stale IXFR_DELETE erase a
+            # newer add for the same (fqdn, ip), violating the documented
+            # most-recent-wins contract (README.md:119-121; the reference
+            # is order-arbitrary here, we pin it to the feed order).
+            changes = [(a, f, i) for (_, _, a, f, i) in sorted(by_zone[zone])]
             try:
                 store.apply_update(zone, changes)
             except ZoneNotFoundError:
@@ -193,7 +202,10 @@ def send_updates(df: DataFrame, store: str, global_dedup: bool = True, **options
 
     out = df
     if global_dedup:
-        out = dedup_updates_for_send(df, ts_col="timestamp")
+        # event_id (when the feed carries one) pins equal-timestamp ties
+        # globally, matching the writer's per-partition apply order.
+        tiebreak = ["event_id"] if "event_id" in df.columns else []
+        out = dedup_updates_for_send(df, ts_col="timestamp", tiebreak=tiebreak)
         out = out.repartition(F.col("zone")).drop("zone")
     writer = out.write.format("dns_update").option("store", store)
     for k, v in options.items():

@@ -54,7 +54,8 @@ from pyspark.sql.types import (
 )
 
 from spark_dns_spark.sources.options import XFR_AXFR, DnsSourceOptions
-from spark_dns_spark.sources.zonestore import ZoneNotFoundError, ZoneStore
+from spark_dns_spark.sources.transport import make_transport
+from spark_dns_spark.sources.zonestore import ZoneNotFoundError
 
 #: Read schema — 6 columns, alphabetical (bean-encoder order parity,
 #: DnsRecordToRowConverter.java:20, SURVEY.md §1.3).
@@ -102,23 +103,22 @@ def _transfer_rows(opts: DnsSourceOptions, part: DnsZonePartition):
     ts = datetime.fromtimestamp(part.batch_ts_us / 1e6, tz=timezone.utc).replace(
         tzinfo=None
     )
-    store = ZoneStore(opts.store)
+    transport = make_transport(opts)
     try:
         if part.zone in opts.fail_zones:  # fault injection (tests, T7)
             raise OSError(f"simulated transfer failure for {part.zone}")
         # port/timeout behave like the reference's TCP client: wrong
         # port refuses, simulated RTT beyond `timeout` times out — both
         # suppressable via ignore-failures (DnsZoneRDD.java:82-92).
-        store.check_connect(opts.port, opts.timeout, part.zone)
-        if part.axfr and part.to_serial is None:
-            res = store.axfr(part.zone)
-        else:
-            # ixfr() serves from_serial==0 as a snapshot BOUNDED at
-            # to_serial, so a streaming batch planned at [0, end] stays
-            # pinned to its offsets even if the store advances before
-            # the task runs (or the task retries) — no duplicate
-            # re-delivery at the next batch.
-            res = store.ixfr(part.zone, part.from_serial, part.to_serial)
+        transport.check_connect(part.zone)
+        # transfer() serves from_serial==0 as a snapshot BOUNDED at
+        # to_serial, so a streaming batch planned at [0, end] stays
+        # pinned to its offsets even if the store advances before the
+        # task runs (or the task retries) — no duplicate re-delivery at
+        # the next batch.
+        res = transport.transfer(
+            part.zone, part.from_serial, part.to_serial, part.axfr
+        )
     except (OSError, ZoneNotFoundError):
         if opts.ignore_failures:
             return  # log+empty partition (DnsZoneRDD.java:86-91)
@@ -160,7 +160,7 @@ class DnsBatchReader(DataSourceReader):
 
     def partitions(self):
         ts = _now_us()
-        zones = self.opts.zones or ZoneStore(self.opts.store).zones()
+        zones = self.opts.zones or make_transport(self.opts).zones()
         if self._zone_filter is not None:
             zones = [z for z in zones if z in self._zone_filter]
         return [
@@ -222,7 +222,7 @@ class DnsStreamReader(DataSourceStreamReader):
         )
 
     def _zones(self) -> list[str]:
-        return self.opts.zones or ZoneStore(self.opts.store).zones()
+        return self.opts.zones or make_transport(self.opts).zones()
 
     def initialOffset(self) -> dict:
         # T4 restart recovery: newest progress file wins over the
@@ -233,12 +233,13 @@ class DnsStreamReader(DataSourceStreamReader):
         return {z: self.opts.serial for z in self._zones()}
 
     def latestOffset(self) -> dict:
-        # Real end-of-data offsets (store supports a serial poll).
-        store = ZoneStore(self.opts.store)
+        # Real end-of-data offsets (any transport serves a serial poll:
+        # file store reads the zone file, wire sends a SOA query).
+        transport = make_transport(self.opts)
         out = {}
         for z in self._zones():
             try:
-                out[z] = store.serial(z)
+                out[z] = transport.serial(z)
             except ZoneNotFoundError:
                 if not self.opts.ignore_failures:
                     raise

@@ -71,10 +71,16 @@ class DnsSourceOptions(DnsOptions):
     ignore_failures: bool = False
     fail_zones: list[str] = field(default_factory=list)  # test fault injection
     max_kept_commits: int = 10  # streaming progress retention (O2)
+    #: 'store' (file-backed simulator, default) or 'wire' (dnspython
+    #: against a live server — transport.py; needs dnspython installed).
+    transport: str = "store"
 
     @classmethod
     def parse(cls, options: dict) -> "DnsSourceOptions":
         base = DnsOptions.parse(options)
+        transport = str(_get(options, "transport", "store")).lower()
+        if transport not in ("store", "wire"):
+            raise OptionError(f"invalid transport: {transport}")
         zones_csv = _get(options, "zones", "") or ""
         # P5: CSV → trimmed, de-duplicated, order-preserving
         # (DnsSourceOptions.java:61-65)
@@ -109,4 +115,5 @@ class DnsSourceOptions(DnsOptions):
             ignore_failures=ignore,
             fail_zones=fail_zones,
             max_kept_commits=kept,
+            transport=transport,
         )
