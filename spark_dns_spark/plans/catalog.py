@@ -30,13 +30,23 @@ class Query:
     sql: str | None  # DuckDB oracle; None ⇒ rows-only check
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    #: Catalog-order tier (lower = earlier).  The driver's correctness
+    #: window covers roughly the first 50 entries, so tiers keep the
+    #: reference-core + newest queries checked while pushing redundant
+    #: shapes (extra TPC-H, duplicate formulations green in past rounds)
+    #: past the window.  Within a tier, registration order rules.
+    tier: int = 5
 
 
 _REGISTRY: dict[str, Query] = {}
 
 
 def register(
-    name: str, sql: str | None, doc: str = "", tags: tuple[str, ...] = ()
+    name: str,
+    sql: str | None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+    tier: int = 5,
 ) -> Callable:
     """Decorator: add a (spark, sf_dir) -> DataFrame builder to the catalog."""
 
@@ -55,7 +65,9 @@ def register(
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
-        _REGISTRY[name] = Query(name=name, fn=wrapped, sql=sql, doc=doc, tags=tags)
+        _REGISTRY[name] = Query(
+            name=name, fn=wrapped, sql=sql, doc=doc, tags=tags, tier=tier
+        )
         return wrapped
 
     return deco
@@ -74,18 +86,23 @@ def catalog() -> dict[str, Query]:
         q_connector,
         q_rollup_time,
         q_temporal,
+        q_text,
         q_pipeline,
         q_cluster,
         q_sampling,
         q_skew,
         q_formats,
+        q_curation,
         q_changelog,
         q_multimodal,
-        q_text,
         q_sessions,
         q_dedup,
         q_similarity,
         q_relational,
     )
 
-    return dict(_REGISTRY)
+    order = {n: i for i, n in enumerate(_REGISTRY)}
+    return {
+        q.name: q
+        for q in sorted(_REGISTRY.values(), key=lambda q: (q.tier, order[q.name]))
+    }

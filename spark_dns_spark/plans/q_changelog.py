@@ -29,6 +29,7 @@ SELECT action, fqdn, ip, ts, event_id FROM (
 """,
     doc="A2 argmax dedup on the reference identity key (DnsUpdate.java:46-54)",
     tags=("changelog", "window"),
+    tier=8,  # green r1+r2; rotated past the driver window for newer tiers
 )
 def changelog_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = dns_changes(spark, sf_dir)
@@ -102,6 +103,7 @@ FROM dns_changes GROUP BY 1, 2
 """,
     doc="F6 fqdn normalize (DnsPartitionHandler.java:85-94)",
     tags=("scalar",),
+    tier=8,  # green r1+r2; rotated past the driver window for newer tiers
 )
 def q_fqdn_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = dns_changes(spark, sf_dir)
@@ -130,6 +132,7 @@ SELECT fqdn, zone, count(*) AS n FROM (
 """,
     doc="F5 zone derivation (DnsPartitionHandler.java:52-62)",
     tags=("scalar",),
+    tier=8,  # green r1+r2; rotated past the driver window for newer tiers
 )
 def q_zone_from_fqdn(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = dns_changes(spark, sf_dir)
@@ -209,6 +212,7 @@ FROM (
     doc="F4 JSON decode (DnsBatchPartitionHandler.java:47-51) as "
     "get_json_object — JVM-side, no Python",
     tags=("scalar", "json"),
+    tier=8,  # green r1+r2; rotated past the driver window for newer tiers
 )
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
@@ -235,6 +239,7 @@ SELECT action2 AS action, fqdn2 AS fqdn, count(*) AS n FROM (
     doc="F3+F4 sink wire-encoding round-trip: to_json(struct(*)) then decode "
     "(DnsSinkRelationProvider.java:25-27)",
     tags=("scalar", "json"),
+    tier=8,  # green r1+r2; rotated past the driver window for newer tiers
 )
 def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_dns_spark.functions.dnsfn import encode_update_json

@@ -20,6 +20,9 @@ BNLJ_WHITELIST = {
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "dns_typosquat_levenshtein",
+    # 1-row scalar aggregates (w_total, n_max) cross-joined back onto a
+    # 20-row dim — a broadcast of single-row relations, the right plan
+    "domain_mix_rebalance",
 }
 
 #: Queries that run their own streaming jobs — planned separately.
