@@ -78,7 +78,13 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    return e.withColumn("nm", sim.norm(F.col("v")))
+    # Arrow-batched norm + persist: every consumer fans out to 2-3 plan
+    # branches (query side, corpus side, candidate build) — the cache
+    # stops the norm pipeline re-running per branch (catalog clearCache
+    # releases it at the next query).
+    return e.withColumn(
+        "nm", F.sqrt(sim.dot_arrow(F.col("v"), F.col("v")))
+    ).persist()
 
 
 def _scored_topk(n: DataFrame, cand: DataFrame) -> DataFrame:
@@ -95,13 +101,19 @@ def _scored_topk(n: DataFrame, cand: DataFrame) -> DataFrame:
         F.col("nm").alias("cn"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    # broadcast the vector payloads: the candidate-pair stream is the big
+    # side (bucket collisions), the vector table is MBs — without the
+    # hint both 64-double arrays shuffle once per PAIR (SMJ), which at
+    # sf0.1 moves ~1 GB for a 1 MB table.  At a corpus too big to
+    # broadcast, drop the hint and pre-bucket vectors by the join key
+    # so the pair join co-locates instead.
     return (
-        cand.join(q, "query_id")
-        .join(c, "neighbor_id")
+        cand.join(F.broadcast(q), "query_id")
+        .join(F.broadcast(c), "neighbor_id")
         .withColumn(
             "cosine",
             F.round(
-                sim.cosine_with_norms(
+                sim.cosine_with_norms_arrow(
                     F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
                 ),
                 4,
@@ -158,15 +170,15 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _vectors(spark, sf_dir)
-    sig = n.select(
-        "vec_id", *sim.band_signatures(F.col("v"), PLANES, ROWS_PER_BAND)
-    )
-    sx = sig.select(
+    # Arrow-batched signatures (bit-identical fold, ~100x the interpreted
+    # HOF path), persisted at the fan-out so the band self-join's two
+    # sides share one computation.
+    sx = n.select(
         "vec_id",
         F.explode(
-            F.array(*[F.col(f"band{b}") for b in range(NUM_BANDS)])
+            sim.band_signatures_arrow(F.col("v"), PLANES, ROWS_PER_BAND)
         ).alias("band_key"),
-    )
+    ).persist()
     cand = (
         sx.filter(F.col("vec_id") % QMOD == 0)
         .select(F.col("vec_id").alias("query_id"), "band_key")
@@ -304,15 +316,15 @@ SELECT id_a, id_b, cosine FROM (
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _vectors(spark, sf_dir)
-    sig = n.select(
-        "vec_id", *sim.band_signatures(F.col("v"), PLANES, ROWS_PER_BAND)
-    )
-    sx = sig.select(
+    # Arrow-batched signatures, persisted at the fan-out (same rule as
+    # similarity_topk_lsh: both sides of the band self-join share one
+    # computation).
+    sx = n.select(
         "vec_id",
         F.explode(
-            F.array(*[F.col(f"band{b}") for b in range(NUM_BANDS)])
+            sim.band_signatures_arrow(F.col("v"), PLANES, ROWS_PER_BAND)
         ).alias("band_key"),
-    )
+    ).persist()
     cand = (
         sx.alias("a")
         .join(
@@ -327,13 +339,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = n.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nm").alias("na"))
     b = n.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nm").alias("nb"))
+    # broadcast vector payloads (same rationale as _scored_topk): the
+    # 800k+ candidate pairs are the big side, the vectors are MBs.
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        cand.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
         .withColumn(
             "cosine",
             F.round(
-                sim.cosine_with_norms(
+                sim.cosine_with_norms_arrow(
                     F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
                 ),
                 4,
