@@ -46,6 +46,13 @@ HEADLINE = [
     "asof_join_last_error",
     "pipeline_curate_corpus",
     "hypertable_rollup",
+    # round-3 tier
+    "dns_typosquat_blocked",
+    "text_pii_redact",
+    "text_repetition_filter",
+    "contamination_ngram_overlap",
+    "domain_mix_rebalance",
+    "dedup_embedding_cosine",
 ]
 
 

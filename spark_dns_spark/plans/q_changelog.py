@@ -431,10 +431,14 @@ WHERE levenshtein(a.zone, b.zone) <= 2
     tags=("changelog", "scalar", "dns", "blocking"),
 )
 def dns_typosquat_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persist: the distinct-zone build scans the whole change feed, and
+    # the blocking fans out to index + probe sides of the self-join —
+    # without the cache the feed scan runs once per branch.
     zones = (
         dns_changes(spark, sf_dir)
         .select(zone_from_fqdn("fqdn").alias("zone"))
         .distinct()
+        .persist()
     )
     sll = F.substring_index("zone", ".", 1)
     parts = zones.select(

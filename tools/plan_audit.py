@@ -21,6 +21,9 @@ BNLJ_OK = {
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "dns_typosquat_levenshtein",
+    # 1-row scalar aggregates (w_total, n_max) cross-joined onto a
+    # 20-row dim — broadcast of single-row relations, the right plan
+    "domain_mix_rebalance",
 }
 
 
