@@ -62,8 +62,34 @@ def main() -> None:
 
     qs = entrymod.queries()
     spark = get_session("bench")
-    # warm the JVM + parquet footers with one cheap action
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # Warm shared engine machinery on TINY inputs so the first headline
+    # query doesn't absorb one-time costs that belong to the session,
+    # not the query: JVM/codegen JIT for join+window+agg pipelines,
+    # parquet footer reads, and the Python/Arrow worker pool fork
+    # (32 workers).  Every headline query is still timed end-to-end
+    # cold-plan (nothing below caches any headline input).
+    from pyspark.sql import Window
+
+    region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    (
+        nation.join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .groupBy("r_name")
+        .agg(F.sum("rn").alias("s"))
+        .select(F.bit_xor(F.xxhash64("r_name", "s")))
+        .collect()
+    )
+
+    @F.pandas_udf("long")
+    def _warm(x):
+        return x
+
+    spark.range(256).repartition(32).select(_warm("id")).count()
 
     timings: dict[str, float] = {}
     skipped: list[str] = []

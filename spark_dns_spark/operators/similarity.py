@@ -135,6 +135,30 @@ def band_signatures(
     return out
 
 
+def dot_unrolled(a: Column, b: Column, dim: int = DIM) -> Column:
+    """Codegen-friendly :func:`dot`: the fold unrolled into a plain
+    ``0.0 + a[0]*b[0] + ... + a[dim-1]*b[dim-1]`` expression tree.
+
+    Same IEEE addition sequence as :func:`dot` / :func:`dot_arrow`
+    (including the leading ``0.0`` — it flips a ``-0.0`` first product
+    to ``+0.0`` exactly like the fold's init does), so results are
+    bit-identical — but the whole thing stays inside whole-stage
+    codegen: no interpreted HOF, no Arrow hop, no vector bytes shipped
+    to Python.  The fastest formulation when vectors are already
+    attached to the row (e.g. after the broadcast pair joins)."""
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a[i] * b[i]
+    return acc
+
+
+def cosine_with_norms_unrolled(
+    a: Column, b: Column, na: Column, nb: Column, dim: int = DIM
+) -> Column:
+    """JVM-codegen :func:`cosine_with_norms` (same fold contract)."""
+    return dot_unrolled(a, b, dim) / (na * nb)
+
+
 def dot_arrow(a: Column, b: Column) -> Column:
     """Arrow-batched :func:`dot` — numpy fold in dimension order, so the
     result is bit-identical to the Catalyst/DuckDB sequential fold (see
@@ -200,6 +224,51 @@ def band_signatures_arrow(
         return pd.Series(out)
 
     return _keys(v)
+
+
+def cosine_pairs_broadcast(
+    spark, n_df, id_a: str = "id_a", id_b: str = "id_b"
+) -> Column:
+    """Exact cosine for a candidate-pair stream WITHOUT shipping vectors
+    per pair.
+
+    The (small) vector table ``n_df`` (``vec_id, v, nm``) is broadcast
+    once per executor as a numpy matrix; the pair stream ships only two
+    int64 columns through Arrow and the UDF gathers rows from the
+    matrix.  At sf0.1 that is ~13 MB to Python instead of ~850 MB of
+    per-pair 64-double payloads — the same fold order as
+    :func:`dot_arrow`, so results stay bit-identical to the oracle.
+
+    Scale contract: identical memory envelope to the
+    ``F.broadcast(vectors)`` pair-join it replaces (the vector table
+    must fit per-executor, like any broadcast dim).  For a corpus
+    beyond broadcast size, use the plain pair-join formulation and
+    pre-bucket vectors on the join key instead (see ``_scored_topk``).
+
+    Returns the cosine as a double Column over ``(id_a, id_b)``.
+    """
+    rows = n_df.select("vec_id", "v", "nm").collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows], dtype="int64")
+    X = np.array([r["v"] for r in rows], dtype="float64")
+    nm = np.array([r["nm"] for r in rows], dtype="float64")
+    bc = spark.sparkContext.broadcast((ids, X, nm))
+
+    @F.pandas_udf("double")
+    def _cos(ia: pd.Series, ib: pd.Series) -> pd.Series:
+        bids, bX, bnm = bc.value
+        if len(ia) == 0:
+            return pd.Series([], dtype="float64")
+        pa = np.searchsorted(bids, ia.to_numpy())
+        pb = np.searchsorted(bids, ib.to_numpy())
+        A = bX[pa]
+        B = bX[pb]
+        acc = np.zeros(A.shape[0])
+        for i in range(A.shape[1]):  # dimension order = fold order
+            acc = acc + A[:, i] * B[:, i]
+        return pd.Series(acc / (bnm[pa] * bnm[pb]))
+
+    return _cos(F.col(id_a), F.col(id_b))
 
 
 def band_signatures_sql(

@@ -83,42 +83,27 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stops the norm pipeline re-running per branch (catalog clearCache
     # releases it at the next query).
     return e.withColumn(
-        "nm", F.sqrt(sim.dot_arrow(F.col("v"), F.col("v")))
+        "nm", F.sqrt(sim.dot_unrolled(F.col("v"), F.col("v")))
     ).persist()
 
 
 def _scored_topk(n: DataFrame, cand: DataFrame) -> DataFrame:
     """Spark mirror of :func:`_scored_topk_sql` — cosine is computed only
     on candidate pairs; norms come precomputed from ``n``."""
-    q = n.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nm").alias("qn"),
-    )
-    c = n.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("v").alias("cv"),
-        F.col("nm").alias("cn"),
-    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    # broadcast the vector payloads: the candidate-pair stream is the big
-    # side (bucket collisions), the vector table is MBs — without the
-    # hint both 64-double arrays shuffle once per PAIR (SMJ), which at
-    # sf0.1 moves ~1 GB for a 1 MB table.  At a corpus too big to
-    # broadcast, drop the hint and pre-bucket vectors by the join key
-    # so the pair join co-locates instead.
+    # broadcast the vector TABLE, not per-pair payloads: the
+    # candidate-pair stream is the big side (bucket collisions), the
+    # vector table is MBs.  cosine_pairs_broadcast ships only the two id
+    # columns to Python and gathers vectors from an executor-local
+    # matrix — same memory envelope as a broadcast pair-join, ~60x less
+    # Arrow traffic.  At a corpus too big to broadcast, join the vector
+    # table onto the pairs instead and pre-bucket it on the join key so
+    # the pair join co-locates.
+    cos = sim.cosine_pairs_broadcast(
+        n.sparkSession, n, "query_id", "neighbor_id"
+    )
     return (
-        cand.join(F.broadcast(q), "query_id")
-        .join(F.broadcast(c), "neighbor_id")
-        .withColumn(
-            "cosine",
-            F.round(
-                sim.cosine_with_norms_arrow(
-                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
-                ),
-                4,
-            ),
-        )
+        cand.withColumn("cosine", F.round(cos, 4))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= K)
         .select("query_id", "neighbor_id", "cosine", "rank")
@@ -219,11 +204,14 @@ _IVF_CTE = (
 
 
 def _dist2(v, cv):
-    return F.aggregate(
-        F.zip_with(v, cv, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # unrolled (x_i-y_i)^2 fold — same IEEE sequence as the zip_with/
+    # aggregate HOF and the oracle's dist2_sql, but whole-stage codegen
+    # instead of ~1.5 ms/row interpreted evaluation.
+    acc = F.lit(0.0)
+    for i in range(sim.DIM):
+        d = v[i] - cv[i]
+        acc = acc + d * d
+    return acc
 
 
 @register(
@@ -337,22 +325,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    a = n.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nm").alias("na"))
-    b = n.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nm").alias("nb"))
-    # broadcast vector payloads (same rationale as _scored_topk): the
-    # 800k+ candidate pairs are the big side, the vectors are MBs.
+    # broadcast the vector TABLE (same rationale as _scored_topk): the
+    # 800k+ candidate pairs are the big side, the vectors are MBs — only
+    # the two id columns cross the Arrow boundary.
+    cos = sim.cosine_pairs_broadcast(spark, n, "id_a", "id_b")
     return (
-        cand.join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
-        .withColumn(
-            "cosine",
-            F.round(
-                sim.cosine_with_norms_arrow(
-                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
-                ),
-                4,
-            ),
-        )
+        cand.withColumn("cosine", F.round(cos, 4))
         .filter(F.col("cosine") >= COS_T)
         .select("id_a", "id_b", "cosine")
     )
