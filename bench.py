@@ -53,6 +53,8 @@ HEADLINE = [
     "contamination_ngram_overlap",
     "domain_mix_rebalance",
     "dedup_embedding_cosine",
+    "tfidf_top_terms",
+    "events_user_zscore",
 ]
 
 

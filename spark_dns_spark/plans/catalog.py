@@ -93,6 +93,7 @@ def catalog() -> dict[str, Query]:
         q_skew,
         q_formats,
         q_curation,
+        q_mlprep,
         q_changelog,
         q_multimodal,
         q_sessions,

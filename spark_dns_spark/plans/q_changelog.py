@@ -73,6 +73,7 @@ GROUP BY action, fqdn, ip
     doc="A2 as an aggregation (max_by) instead of a window — partial "
     "map-side combine, no per-key sort; preferred at 100 TB",
     tags=("changelog", "agg"),
+    tier=6,  # green r1+r2, unchanged in r3 - rotated past the driver window
 )
 def changelog_max_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Deterministic lexicographic argmax on (ts, event_id): the key is
@@ -164,6 +165,7 @@ GROUP BY zone, action
     doc="A1 group-updates-by-zone (DnsPartitionHandler.java:30-44), made "
     "global instead of per-partition",
     tags=("changelog", "agg"),
+    tier=6,  # green r1+r2, unchanged in r3 - rotated past the driver window
 )
 def q_group_by_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = cl.group_updates_by_zone(dns_changes(spark, sf_dir))
@@ -191,6 +193,7 @@ SELECT violation, count(*) AS n FROM (
     doc="P4 validation predicates (DnsPartitionHandler.java:69-77); ttl "
     "synthesized as event_id%7-3 to exercise the <=0 branch",
     tags=("changelog", "filter"),
+    tier=6,  # green r1+r2, unchanged in r3 - rotated past the driver window
 )
 def q_validate_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = dns_changes(spark, sf_dir).withColumn(
@@ -272,6 +275,7 @@ FROM (
 """,
     doc="P5 distinct zone list (DnsSourceOptions.java:61-65)",
     tags=("set",),
+    tier=6,  # green r1+r2, unchanged in r3 - rotated past the driver window
 )
 def q_distinct_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = dns_changes(spark, sf_dir)
@@ -299,6 +303,7 @@ GROUP BY zone
     doc="A3 max-merge zone-serial accumulator (ZoneVersion.java:43-47) as "
     "max() aggregation",
     tags=("agg",),
+    tier=6,  # green r1+r2, unchanged in r3 - rotated past the driver window
 )
 def q_zone_serial_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = cl.group_updates_by_zone(dns_changes(spark, sf_dir))
@@ -319,6 +324,7 @@ HAVING count(*) > 1
     doc="A4 exactly-once assertion shape "
     "(DnsSourceRelationProviderTest.java:214-225): duplicate groups",
     tags=("agg", "test-shape"),
+    tier=6,  # green r1+r2, unchanged in r3 - rotated past the driver window
 )
 def q_exactly_once_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = dns_changes(spark, sf_dir)
@@ -341,6 +347,7 @@ LIMIT 100
     doc="O1 chronological ordering (DnsChronologicalChange.java:10-17) as "
     "top-k with deterministic tie-break",
     tags=("sort", "limit"),
+    tier=6,  # green r1+r2, unchanged in r3 - rotated past the driver window
 )
 def q_chronological_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = dns_changes(spark, sf_dir)
@@ -372,6 +379,7 @@ WHERE levenshtein(a.zone, b.zone) <= 2
     "— the classic DNS-abuse analytic; the distinct-zone self-join is "
     "tiny (zones, not fqdns), so all-pairs is the right plan here",
     tags=("changelog", "scalar", "dns"),
+    tier=6,  # green r1+r2, unchanged in r3 - rotated past the driver window
 )
 def dns_typosquat_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     zones = (

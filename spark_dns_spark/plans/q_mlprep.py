@@ -1,0 +1,289 @@
+"""ML-data-prep operator queries beyond the curation tier: TF-IDF
+keyword extraction, vocabulary building, incremental corpus dedup,
+quantile-based quality gating, and per-entity outlier flagging — the
+remaining staples of a training-data pipeline (builder brief: dedup /
+text-analysis first-class operators), each with an exact DuckDB oracle.
+
+Scale notes (the 100 TB lens):
+- tf-idf: two keyed shuffles (doc-term, then term); the doc-frequency
+  table is vocabulary-sized and broadcast; the 1-row corpus count is a
+  scalar broadcast (whitelisted BNLJ, same class as domain_mix's).
+- vocab: explode -> partial-agg count -> top-k; map-side combine does
+  the heavy lifting, only (bigram, count) partials shuffle.
+- incremental dedup: digest-keyed anti-join; text never moves, only
+  md5 digests shuffle.  This is the daily-crawl-vs-corpus shape.
+- quantile gate: one small per-source percentile agg broadcast back.
+- z-score: one shuffle on user_id; integer-exact flag predicate (no
+  float summation-order hazard; see the algebra at the query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_dns_spark.plans.catalog import register
+from spark_dns_spark.plans.feeds import load_events
+from spark_dns_spark.plans.q_text import (
+    STOPWORDS,
+    _marker_hits,
+    _marker_hits_sql,
+    _toks,
+)
+from spark_dns_spark.session import load_table
+
+TOP_TERMS = 3  #: tf-idf terms kept per document
+TOP_BIGRAMS = 50  #: vocabulary entries kept corpus-wide
+QUANTILE = 0.8  #: per-source quality gate
+Z_NUM, Z_DEN = 9, 1  #: z^2 threshold as an exact rational (z > 3)
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), total AS (
+  SELECT count(*)::BIGINT AS n_docs FROM documents
+)
+SELECT doc_id, term, score_e4, rank FROM (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ((total.n_docs * 10000) // dfreq.df) AS score_e4,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ((total.n_docs * 10000) // dfreq.df) DESC,
+                    tf.term) AS rank
+  FROM tf JOIN dfreq USING (term), total
+) WHERE rank <= {TOP_TERMS}
+""",
+    doc="per-document top-3 keywords by integer-scaled tf-idf "
+    "(tf * (N*1e4 div df) — integer arithmetic end-to-end, so both "
+    "engines rank identically with no float/log last-ulp hazard)",
+    tags=("text", "mlprep"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(_toks()).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # document frequency: tf is already one row per (doc, term)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # dfreq is vocabulary-sized and total is one row — both broadcast;
+    # the integer-scaled idf ((N*1e4) div df) avoids ln(): floats never
+    # enter the score, so cross-engine ranking is exact.
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "score_e4", F.col("tf") * F.expr("(n_docs * 10000) div df")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_e4"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_TERMS)
+        .select("doc_id", "term", "score_e4", "rank")
+    )
+
+
+@register(
+    "vocab_top_bigrams",
+    f"""
+WITH t AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+), b AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM t WHERE len(t) >= 2
+)
+SELECT bigram, count(*)::BIGINT AS n
+FROM b GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT {TOP_BIGRAMS}
+""",
+    doc="corpus-wide top-50 token bigrams (vocabulary/BPE-merge prep); "
+    "explode -> partial-agg -> top-k, map-side combine carries the load",
+    tags=("text", "mlprep", "agg"),
+)
+def vocab_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(_toks().alias("t")).filter(F.size("t") >= 2)
+    bi = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2), "
+                "i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bi.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(TOP_BIGRAMS)
+    )
+
+
+@register(
+    "dedup_incremental_batch",
+    """
+WITH batch AS (
+  SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 10 = 0
+), corpus AS (
+  SELECT DISTINCT md5(text) AS digest
+  FROM documents WHERE doc_id % 10 <> 0
+)
+SELECT min(doc_id)::BIGINT AS keep_id, digest, count(*)::BIGINT AS batch_dupes
+FROM batch
+WHERE NOT EXISTS (SELECT 1 FROM corpus WHERE corpus.digest = batch.digest)
+GROUP BY digest
+""",
+    doc="incremental dedup: admit only new-batch docs whose digest is "
+    "absent from the existing corpus (daily-crawl-vs-corpus shape); "
+    "digest-keyed anti-join + min-id dedup within the batch — text "
+    "bytes never shuffle",
+    tags=("dedup", "mlprep"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    digest = F.md5("text").alias("digest")
+    batch = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", digest)
+    corpus = (
+        docs.filter(F.col("doc_id") % 10 != 0).select(digest).distinct()
+    )
+    fresh = batch.join(corpus, "digest", "left_anti")
+    return fresh.groupBy("digest").agg(
+        F.min("doc_id").cast("long").alias("keep_id"),
+        F.count(F.lit(1)).alias("batch_dupes"),
+    ).select("keep_id", "digest", "batch_dupes")
+
+
+_QE4_SQL = f"""
+  SELECT source,
+         floor((0.35 * least(len(string_split(text, ' ')) / 80, 1)
+               + 0.35 * (1 - CASE WHEN len(string_split(text, ' ')) > 0
+                    THEN {_marker_hits_sql("string_split(text, ' ')", STOPWORDS)}
+                         / len(string_split(text, ' ')) ELSE 0 END)
+               + 0.30 * CASE WHEN length(text) > 0
+                    THEN length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+                         / length(text) ELSE 0 END)
+               * 10000 + 0.5)::BIGINT AS q_e4
+  FROM documents
+"""
+
+
+def _quality_e4() -> F.Column:
+    """Integer e4 quality blend — same expression as q_text's
+    ``text_quality_score`` (floor-round BEFORE any comparison, per the
+    cross-engine canonicalization rule)."""
+    toks = _toks()
+    n_chars = F.length("text")
+    n_words = F.size(toks)
+    stop_hits = _marker_hits(toks, STOPWORDS)
+    stop_ratio = F.when(n_words > 0, stop_hits / n_words).otherwise(F.lit(0.0))
+    alnum_frac = F.when(
+        n_chars > 0,
+        F.length(F.regexp_replace(F.col("text"), "[^a-z0-9 ]", "")) / n_chars,
+    ).otherwise(F.lit(0.0))
+    quality = (
+        F.lit(0.35) * F.least(n_words / F.lit(80), F.lit(1.0))
+        + F.lit(0.35) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.30) * alnum_frac
+    )
+    return F.floor(quality * 10000 + F.lit(0.5)).cast("long")
+
+
+@register(
+    "quality_quantile_cutoff",
+    f"""
+WITH q AS (
+{_QE4_SQL}
+), cut AS (
+  SELECT source, quantile_cont(q_e4, {QUANTILE}) AS cutoff
+  FROM q GROUP BY source
+)
+SELECT q.source,
+       floor(max(cut.cutoff))::BIGINT AS cutoff_floor,
+       sum(CASE WHEN q.q_e4 >= cut.cutoff THEN 1 ELSE 0 END)::BIGINT
+         AS n_above,
+       count(*)::BIGINT AS n_docs
+FROM q JOIN cut USING (source)
+GROUP BY q.source
+""",
+    doc=f"per-source quality gate at the {QUANTILE} quantile "
+    "(keep-the-best-20% curation policy); Spark percentile == DuckDB "
+    "quantile_cont on integer e4 scores, so the cutoff is bit-identical",
+    tags=("text", "mlprep", "agg"),
+)
+def quality_quantile_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select("source", _quality_e4().alias("q_e4"))
+    cut = q.groupBy("source").agg(
+        F.percentile("q_e4", F.lit(QUANTILE)).alias("cutoff")
+    )
+    return (
+        q.join(F.broadcast(cut), "source")
+        .groupBy("source")
+        .agg(
+            F.floor(F.max("cutoff")).cast("long").alias("cutoff_floor"),
+            F.sum((F.col("q_e4") >= F.col("cutoff")).cast("long")).alias(
+                "n_above"
+            ),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+@register(
+    "events_user_zscore",
+    f"""
+WITH b AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli
+  FROM events
+), s AS (
+  SELECT user_id, sum(v_milli) AS s, sum(v_milli * v_milli) AS q,
+         count(*) AS n
+  FROM b GROUP BY user_id
+)
+SELECT b.event_id, b.user_id, b.v_milli
+FROM b JOIN s USING (user_id)
+WHERE (b.v_milli * s.n - s.s) * (b.v_milli * s.n - s.s) * {Z_DEN}
+      > {Z_NUM} * (s.n * s.q - s.s * s.s)
+""",
+    doc="per-user outlier events at |z| > 3 — the flag predicate is the "
+    "z-test cleared of denominators ((n*x - s)^2 > 9*(n*q - s^2)), so "
+    "it is integer-exact: no float mean/stddev, no summation-order "
+    "hazard, identical rows in both engines",
+    tags=("events", "mlprep", "agg"),
+)
+def events_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    b = ev.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("v_milli"),
+    )
+    s = b.groupBy("user_id").agg(
+        F.sum("v_milli").alias("s"),
+        F.sum(F.col("v_milli") * F.col("v_milli")).alias("q"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # per-user stats are |users| rows — broadcast back onto the feed.
+    # Largest term: (n*x - s)^2 <= ~1.2e16 at sf0.1 — inside int64
+    # (DuckDB's sums go HUGEINT; Spark stays long, both exact).
+    d = F.col("v_milli") * F.col("n") - F.col("s")
+    return (
+        b.join(F.broadcast(s), "user_id")
+        .filter(d * d * Z_DEN > Z_NUM * (F.col("n") * F.col("q") - F.col("s") * F.col("s")))
+        .select("event_id", "user_id", "v_milli")
+    )

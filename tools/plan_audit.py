@@ -24,6 +24,9 @@ BNLJ_OK = {
     # 1-row scalar aggregates (w_total, n_max) cross-joined onto a
     # 20-row dim — broadcast of single-row relations, the right plan
     "domain_mix_rebalance",
+    # 1-row corpus count (N for idf) cross-joined onto the vocab-sized
+    # doc-frequency dim — same single-row-broadcast class
+    "tfidf_top_terms",
 }
 
 
