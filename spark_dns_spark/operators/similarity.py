@@ -152,13 +152,6 @@ def dot_unrolled(a: Column, b: Column, dim: int = DIM) -> Column:
     return acc
 
 
-def cosine_with_norms_unrolled(
-    a: Column, b: Column, na: Column, nb: Column, dim: int = DIM
-) -> Column:
-    """JVM-codegen :func:`cosine_with_norms` (same fold contract)."""
-    return dot_unrolled(a, b, dim) / (na * nb)
-
-
 def dot_arrow(a: Column, b: Column) -> Column:
     """Arrow-batched :func:`dot` — numpy fold in dimension order, so the
     result is bit-identical to the Catalyst/DuckDB sequential fold (see

@@ -278,12 +278,14 @@ def events_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("v_milli") * F.col("v_milli")).alias("q"),
         F.count(F.lit(1)).alias("n"),
     )
-    # per-user stats are |users| rows — broadcast back onto the feed.
+    # No broadcast hint: per-user stats grow with user cardinality, so
+    # at 100 TB this must be a user_id-keyed shuffle join (both sides
+    # already partition on user_id); AQE still broadcasts it when small.
     # Largest term: (n*x - s)^2 <= ~1.2e16 at sf0.1 — inside int64
     # (DuckDB's sums go HUGEINT; Spark stays long, both exact).
     d = F.col("v_milli") * F.col("n") - F.col("s")
     return (
-        b.join(F.broadcast(s), "user_id")
+        b.join(s, "user_id")
         .filter(d * d * Z_DEN > Z_NUM * (F.col("n") * F.col("q") - F.col("s") * F.col("s")))
         .select("event_id", "user_id", "v_milli")
     )
