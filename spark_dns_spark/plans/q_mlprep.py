@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from spark_dns_spark.functions.chunking import chunk_expr
 from spark_dns_spark.plans.catalog import register
 from spark_dns_spark.plans.feeds import load_events
 from spark_dns_spark.plans.q_text import (
@@ -238,6 +239,44 @@ def quality_quantile_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count(F.lit(1)).alias("n_docs"),
         )
+    )
+
+
+CHUNK_MAX, CHUNK_STRIDE = 64, 48  #: context window + overlap stride
+
+
+@register(
+    "text_chunk_windows",
+    f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, len(toks), {CHUNK_STRIDE})) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST((start - 1) // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       md5(array_to_string(
+         toks[start : start + {CHUNK_MAX} - 1], ' ')) AS chunk_digest,
+       len(toks[start : start + {CHUNK_MAX} - 1]) AS n_tokens
+FROM s
+""",
+    doc=f"LLM context-window chunking ({CHUNK_MAX}-token windows, "
+    f"stride {CHUNK_STRIDE}): map-only sequence->slice->posexplode, "
+    "no Python in the hot path (functions/chunking.py; the UDTF twin "
+    "is the tokenizer extension point); chunks reported by digest so "
+    "the verified surface is exact while rows stay narrow",
+    tags=("text", "mlprep"),
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = chunk_expr(docs, max_tokens=CHUNK_MAX, stride=CHUNK_STRIDE)
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        F.md5("chunk_text").alias("chunk_digest"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
     )
 
 
