@@ -284,6 +284,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band_idx", "band_val"),
     )
     a, b = bands.alias("a"), bands.alias("b")
+
+    def _b0(c):
+        return F.shiftright(c, 40)
+
+    def _b1(c):
+        return F.shiftright(c, 20).bitwiseAND(m)
+
+    # A pair sharing k bands would surface k times; instead of a
+    # DISTINCT shuffle over the (large) survivor set, keep each pair
+    # only at its FIRST shared band — both sides carry the simhash, so
+    # "every earlier band differs" is a few inline bit ops inside the
+    # same codegen stage.  Identical result set, one less wide shuffle.
+    first_shared_band = (
+        F.when(F.col("a.band_idx") == 0, F.lit(True))
+        .when(
+            F.col("a.band_idx") == 1,
+            _b0(F.col("a.simhash")) != _b0(F.col("b.simhash")),
+        )
+        .otherwise(
+            (_b0(F.col("a.simhash")) != _b0(F.col("b.simhash")))
+            & (_b1(F.col("a.simhash")) != _b1(F.col("b.simhash")))
+        )
+    )
     return (
         a.join(
             b,
@@ -291,11 +314,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(first_shared_band)
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
             dd.hamming60(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
         )
         .filter(F.col("hamming") <= 8)
-        .distinct()
     )
