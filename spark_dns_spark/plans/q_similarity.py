@@ -110,8 +110,7 @@ def _scored_topk(n: DataFrame, cand: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "similarity_topk_bruteforce",
+_BF_SQL = (
     _BASE_CTE
     + f"""
 , cand AS (
@@ -120,12 +119,34 @@ def _scored_topk(n: DataFrame, cand: DataFrame) -> DataFrame:
   WHERE q.vec_id % {QMOD} = 0
 )
 """
-    + _scored_topk_sql(""),
+    + _scored_topk_sql("")
+)
+
+_LSH_SQL = (
+    _SIG_CTE
+    + f"""
+, cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sx q JOIN sx c ON c.band_key = q.band_key AND c.vec_id <> q.vec_id
+  WHERE q.vec_id % {QMOD} = 0
+)
+"""
+    + _scored_topk_sql("")
+)
+
+
+@register(
+    "similarity_topk_bruteforce",
+    _BF_SQL,
     doc=f"exact ANN baseline: brute-force cosine top-{K} for a broadcast "
     "query set — |Q|x|C| pairs, the correctness reference for LSH/IVF",
     tags=("similarity", "bench"),
 )
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bf_topk(spark, sf_dir)
+
+
+def _bf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _vectors(spark, sf_dir)
     q = n.filter(F.col("vec_id") % QMOD == 0).select(
         F.col("vec_id").alias("query_id")
@@ -139,21 +160,17 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_topk_lsh",
-    _SIG_CTE
-    + f"""
-, cand AS (
-  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-  FROM sx q JOIN sx c ON c.band_key = q.band_key AND c.vec_id <> q.vec_id
-  WHERE q.vec_id % {QMOD} = 0
-)
-"""
-    + _scored_topk_sql(""),
+    _LSH_SQL,
     doc=f"LSH ANN: {NUM_BANDS} bands x {ROWS_PER_BAND} hyperplane sign "
     "bits; candidates share >=1 band bucket; exact cosine re-rank. "
     "One shuffle on band keys — the near-dup scale path",
     tags=("similarity", "lsh", "bench"),
 )
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lsh_topk(spark, sf_dir)
+
+
+def _lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _vectors(spark, sf_dir)
     # Arrow-batched signatures (bit-identical fold, ~100x the interpreted
     # HOF path), persisted at the fan-out so the band self-join's two
@@ -333,4 +350,46 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("cosine", F.round(cos, 4))
         .filter(F.col("cosine") >= COS_T)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+@register(
+    "similarity_lsh_recall",
+    f"""
+WITH bf AS (
+  SELECT query_id, neighbor_id FROM ({_BF_SQL})
+), lsh AS (
+  SELECT query_id, neighbor_id FROM ({_LSH_SQL})
+)
+SELECT bf.query_id,
+       sum(CASE WHEN lsh.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS hits,
+       (sum(CASE WHEN lsh.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         * {10000 // K})::BIGINT AS recall_e4
+FROM bf LEFT JOIN lsh
+  ON lsh.query_id = bf.query_id AND lsh.neighbor_id = bf.neighbor_id
+GROUP BY bf.query_id
+""",
+    doc=f"self-measuring ANN quality: recall@{K} of the LSH tier against "
+    "the exact brute-force ground truth, per query — 'measure, don't "
+    "guess' as a first-class query, so banding-parameter changes are "
+    "accountable to a number; integer-exact (hit counts, e4 recall)",
+    tags=("similarity", "lsh", "metric"),
+)
+def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = _bf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    lsh = (
+        _lsh_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        bf.join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
+        .select(
+            "query_id",
+            "hits",
+            (F.col("hits") * F.lit(10000 // K)).alias("recall_e4"),
+        )
     )

@@ -19,6 +19,8 @@ SKIP = {"dns_stream_sink_roundtrip", "sessionize_stream_stateful"}
 #: Documented deliberate small-broadcast nested loops.
 BNLJ_OK = {
     "similarity_topk_bruteforce",
+    # recall metric embeds the brute-force ground truth as a subplan
+    "similarity_lsh_recall",
     "similarity_topk_ivf",
     "dns_typosquat_levenshtein",
     # 1-row scalar aggregates (w_total, n_max) cross-joined onto a
