@@ -90,12 +90,10 @@ def decode_features(
                     "height": height,
                     "n_pixels": width * height,
                     # a probe that genuinely reads payload BYTES (not
-                    # metadata): first + last byte value.  Empty payload
-                    # → 0 (matching the oracle's ascii('') = 0); note the
-                    # oracle reads CODEPOINTS of the first/last character
-                    # while this reads the first/last UTF-8 BYTE — equal
-                    # for the ASCII fixtures this ships with; a non-ASCII
-                    # corpus needs an octet-level oracle expression.
+                    # metadata): first + last byte value; empty payload
+                    # → 0.  The oracle is octet-level too (hex(encode())
+                    # slicing), so non-ASCII corpora agree byte-for-byte
+                    # (ADVICE r3; tested with a UTF-8 fixture).
                     "byte_probe": payload.map(
                         lambda b: (b[0] + b[-1]) if len(b) else 0
                     ),

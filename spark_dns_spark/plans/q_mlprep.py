@@ -320,11 +320,17 @@ def events_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No broadcast hint: per-user stats grow with user cardinality, so
     # at 100 TB this must be a user_id-keyed shuffle join (both sides
     # already partition on user_id); AQE still broadcasts it when small.
-    # Largest term: (n*x - s)^2 <= ~1.2e16 at sf0.1 — inside int64
-    # (DuckDB's sums go HUGEINT; Spark stays long, both exact).
-    d = F.col("v_milli") * F.col("n") - F.col("s")
+    # decimal(38,0) arithmetic (ADVICE r3): DuckDB auto-promotes these
+    # sums to HUGEINT (int128), so beyond test SFs the int64 products
+    # could overflow on the Spark side only — wrapping (or throwing
+    # under ANSI) while the oracle stays exact.  decimal(38,0) gives
+    # both engines the same ~1e38 headroom, still integer-exact.
+    dec = "decimal(38,0)"
+    x = F.col("v_milli").cast(dec)
+    n_, s_, q_ = (F.col(c).cast(dec) for c in ("n", "s", "q"))
+    d = x * n_ - s_
     return (
         b.join(s, "user_id")
-        .filter(d * d * Z_DEN > Z_NUM * (F.col("n") * F.col("q") - F.col("s") * F.col("s")))
+        .filter(d * d * Z_DEN > Z_NUM * (n_ * q_ - s_ * s_))
         .select("event_id", "user_id", "v_milli")
     )

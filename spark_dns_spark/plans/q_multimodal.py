@@ -106,7 +106,11 @@ SELECT doc_id,
        64 + (strlen(text) * 31) % 449 AS height,
        (64 + strlen(text) % 577) * (64 + (strlen(text) * 31) % 449)
          AS n_pixels,
-       ascii(left(text, 1)) + ascii(right(text, 1)) AS byte_probe
+       CASE WHEN strlen(text) = 0 THEN 0 ELSE
+         CAST('0x' || substr(hex(encode(text)), 1, 2) AS INT)
+         + CAST('0x' || substr(hex(encode(text)),
+                               length(hex(encode(text))) - 1, 2) AS INT)
+       END AS byte_probe
 FROM documents
 """,
     doc="binary decode via Arrow-batched mapInPandas (fake codec, real "

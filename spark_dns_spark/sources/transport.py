@@ -143,6 +143,13 @@ def parse_xfr_stream(
                 f"AXFR answer at serial {final_serial} cannot be bounded "
                 f"at {bound}: a live server has no historical snapshot"
             )
+        if rrs[-1][0] != "SOA" or int(rrs[-1][3]) != final_serial:
+            # RFC 5936 §2.2: the stream ends with the SOA repeated — a
+            # cut-off TCP stream otherwise passes as a smaller zone.
+            raise OSError(
+                "malformed AXFR: missing trailing SOA terminator "
+                "(truncated answer stream?)"
+            )
         rows = [
             (AXFR, name, value)
             for rtype, name, value, _ in rrs[1:]
@@ -155,6 +162,7 @@ def parse_xfr_stream(
     # SOA(final) terminator (RFC 1995 §4).
     seq = list(rrs[1:])
     transitions: list[tuple[int, list[WireRR], list[WireRR]]] = []
+    terminated = False
     i = 0
     while i < len(seq):
         if seq[i][0] != "SOA":
@@ -162,7 +170,16 @@ def parse_xfr_stream(
                 f"malformed IXFR: expected SOA run delimiter, got {seq[i][0]}"
             )
         if i == len(seq) - 1:
-            break  # trailing end-of-message SOA(final)
+            # trailing end-of-message SOA — must actually be SOA(final)
+            # (RFC 1995 §4); a stream cut at a transition's SOA(old)
+            # would otherwise pass as complete.
+            if int(seq[i][3]) != final_serial:
+                raise OSError(
+                    "malformed IXFR: stream ends at SOA "
+                    f"{int(seq[i][3])}, want terminator {final_serial}"
+                )
+            terminated = True
+            break
         i += 1  # past SOA(old)
         deletes: list[WireRR] = []
         while i < len(seq) and seq[i][0] != "SOA":
@@ -177,6 +194,15 @@ def parse_xfr_stream(
             adds.append(seq[i])
             i += 1
         transitions.append((new_serial, deletes, adds))
+
+    if not terminated:
+        # a stream cut off right after an adds run exits the loop
+        # cleanly (i == len(seq)) — without this, partial rows would
+        # pass as a valid, smaller delta (ADVICE r3).
+        raise OSError(
+            "malformed IXFR: missing trailing SOA terminator "
+            "(truncated answer stream?)"
+        )
 
     hi = final_serial if bound is None else min(bound, final_serial)
     rows: list[tuple[str, str, str]] = []
@@ -240,7 +266,16 @@ class WireTransport(ZoneTransport):
         res = parse_xfr_stream(rrs, bound=bound)
         if res.kind == "IXFR" and req_serial == 0:
             # serial-0 initial sync is a full snapshot by definition
-            # (Xfr.java:43-46) — relabel rows AXFR for schema parity
+            # (Xfr.java:43-46) — relabel rows AXFR for schema parity.
+            # A delete appearing in such an answer is nonsensical
+            # (nothing exists before serial 0): surface the protocol
+            # violation instead of silently inverting delete semantics
+            # into adds (ADVICE r3).
+            if any(a == IXFR_DELETE for a, _, _ in res.rows):
+                raise OSError(
+                    "malformed transfer: IXFR delete run in a serial-0 "
+                    "initial sync answer"
+                )
             return TransferResult(
                 AXFR, res.serial, [(AXFR, n, v) for _, n, v in res.rows]
             )
@@ -309,5 +344,16 @@ def make_transport(opts) -> ZoneTransport:
     """
     kind = getattr(opts, "transport", "store")
     if kind == "wire":
+        if not getattr(opts, "zones", None):
+            # a server's zone list is not discoverable over DNS:
+            # without explicit zones the source would plan zero
+            # partitions / an empty offset map and "succeed" with no
+            # data (ADVICE r3) — surface the constraint instead.
+            from spark_dns_spark.sources.options import OptionError  # noqa: PLC0415
+
+            raise OptionError(
+                "transport=wire requires the 'zones' option: a live "
+                "server cannot enumerate its zones"
+            )
         return WireTransport(opts.store, port=opts.port, timeout=opts.timeout)
     return FileStoreTransport(opts.store, port=opts.port, timeout=opts.timeout)

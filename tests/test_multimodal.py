@@ -23,6 +23,49 @@ def test_real_decoder_is_stubbed(spark, sf_dir):
         mm.decode_features(docs, decoder="nope")
 
 
+def test_decode_byte_probe_non_ascii(spark):
+    """The byte_probe and its oracle must agree at the OCTET level, not
+    the codepoint level (ADVICE r3): é is codepoint 233 but UTF-8 bytes
+    0xC3 0xA9 — a codepoint oracle diverges on any non-ASCII corpus."""
+    import duckdb
+
+    texts = ["abc", "", "é", "日本語", "aé", "ωmega", "end→"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).select(
+        "doc_id",
+        mm.modality_kind("doc_id").alias("kind"),
+        mm.payload_from_text("text").alias("payload"),
+    )
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["byte_probe"])
+        for r in mm.decode_features(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+        + ") v(doc_id, text)"
+    )
+    oracle = con.execute(
+        """
+        SELECT doc_id, strlen(text),
+               CASE WHEN strlen(text) = 0 THEN 0 ELSE
+                 CAST('0x' || substr(hex(encode(text)), 1, 2) AS INT)
+                 + CAST('0x' || substr(hex(encode(text)),
+                                       length(hex(encode(text))) - 1, 2) AS INT)
+               END
+        FROM t
+        """
+    ).fetchall()
+    for doc_id, n_bytes, probe in oracle:
+        assert got[doc_id] == (n_bytes, probe), texts[doc_id]
+    # ground truth straight from Python bytes
+    for i, t in enumerate(texts):
+        b = t.encode()
+        assert got[i] == (len(b), (b[0] + b[-1]) if b else 0), t
+
+
 def test_decode_survives_small_arrow_batches(spark, sf_dir):
     """The decoder must be correct across MANY Arrow batches (the 100 TB
     case is thousands of batches per partition), not just one."""

@@ -206,6 +206,41 @@ def test_parse_malformed_streams():
         parse_xfr_stream([_soa(3), _soa(1), _a("x.", "1.1.1.1")])
 
 
+def test_parse_truncated_streams_raise():
+    """RFC 1995/5936 terminator checks (ADVICE r3): a TCP stream cut
+    off mid-answer must never pass as a valid, smaller result."""
+    # IXFR cut right after an adds run (no trailing SOA(final))
+    with pytest.raises(OSError, match="missing trailing SOA"):
+        parse_xfr_stream(
+            [_soa(3), _soa(2), _soa(3), _a("x.", "1.1.1.1")]
+        )
+    # IXFR cut at the SOA(old) of a follow-on transition: last record
+    # is a SOA, but not the terminator
+    with pytest.raises(OSError, match="want terminator 3"):
+        parse_xfr_stream(
+            [_soa(3), _soa(1), _soa(2), _a("x.", "1.1.1.1"), _soa(2)]
+        )
+    # AXFR cut before the repeated SOA
+    with pytest.raises(OSError, match="malformed AXFR: missing trailing"):
+        parse_xfr_stream([_soa(7), _a("x.", "1.2.3.4"), _a("y.", "1.2.3.5")])
+
+
+def test_wire_serial0_delete_run_raises():
+    """A serial-0 initial sync whose IXFR-shaped answer carries a
+    delete run is a protocol violation — surfaced, not relabeled into
+    an AXFR add (ADVICE r3)."""
+    def wire(z, serial):
+        assert serial == 0
+        return [
+            _soa(2), _soa(1), _a("gone.", "9.9.9.9"), _soa(2),
+            _a("new.", "1.1.1.1"), _soa(2),
+        ]
+
+    t = WireTransport("dns.example", wire=wire)
+    with pytest.raises(OSError, match="delete run in a serial-0"):
+        t.transfer(ZONE, 0, None, axfr=True)
+
+
 def test_wire_transport_without_dnspython_raises():
     t = WireTransport("dns.example")
     with pytest.raises(OSError, match="dnspython"):
@@ -220,7 +255,20 @@ def test_make_transport_selects(tmp_path):
 
     o1 = DnsSourceOptions.parse({"store": str(tmp_path)})
     assert isinstance(make_transport(o1), FileStoreTransport)
-    o2 = DnsSourceOptions.parse({"store": "dns.example", "transport": "wire"})
+    o2 = DnsSourceOptions.parse(
+        {"store": "dns.example", "transport": "wire", "zones": ZONE}
+    )
     t = make_transport(o2)
     assert isinstance(t, WireTransport)
     assert t.server == "dns.example" and t.port == 53
+
+
+def test_make_transport_wire_requires_zones():
+    """transport=wire with no zones would plan zero partitions and
+    silently succeed with no data (ADVICE r3) — must raise instead."""
+    from spark_dns_spark.sources.options import DnsSourceOptions, OptionError
+    from spark_dns_spark.sources.transport import make_transport
+
+    o = DnsSourceOptions.parse({"store": "dns.example", "transport": "wire"})
+    with pytest.raises(OptionError, match="requires the 'zones' option"):
+        make_transport(o)
