@@ -1,0 +1,245 @@
+"""WireTransport coverage BEYOND the injected parser (VERDICT r3 item
+7): exercise ``_dnspython_wire`` / ``_dnspython_serial`` themselves.
+
+Two layers:
+
+1. **API-shape fakes** (always run): a minimal ``dns`` package faked in
+   ``sys.modules`` with the exact attribute surface dnspython exposes
+   (``dns.query.xfr`` yielding messages of rrsets of rdatas,
+   ``dns.rdatatype`` constants, ``dns.message.make_query``).  These
+   tests execute the real adapter code — request construction
+   (IXFR+serial+port+timeout+relativize), message iteration, rdata
+   attribute access — not the injected ``wire=`` seam.
+2. **Live socket test** (skipif dnspython absent — it is not in this
+   container): a real TCP server on 127.0.0.1 speaks length-prefixed
+   DNS wire format built by dnspython itself, and WireTransport does a
+   genuine ``dns.query.xfr`` against it.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import pytest
+
+from spark_dns_spark.sources.transport import WireTransport
+from spark_dns_spark.sources.zonestore import AXFR, IXFR_ADD, IXFR_DELETE
+
+ZONE = "ex4.example."
+
+_RDTYPE_TEXT = {251: "IXFR", 252: "AXFR", 6: "SOA", 1: "A", 2: "NS"}
+
+
+class _FakeRd:
+    """One rdata: SOA carries .serial; A carries .address."""
+
+    def __init__(self, rtype, value, serial=0):
+        self._text = value
+        if rtype == "SOA":
+            self.serial = serial
+        if rtype == "A":
+            self.address = value
+
+    def to_text(self):
+        return self._text
+
+
+class _FakeRRset(list):
+    def __init__(self, rtype, name, rds):
+        super().__init__(rds)
+        self.rdtype = {v: k for k, v in _RDTYPE_TEXT.items()}[rtype]
+        self.name = name
+
+
+class _FakeMessage:
+    def __init__(self, rrsets):
+        self.answer = rrsets
+
+
+def _install_fake_dns(monkeypatch, script, captured):
+    """Fake the dnspython module surface _dnspython_wire/_serial touch.
+
+    ``script(zone, serial)`` -> list[WireRR]; the fake yields each
+    record as its own single-rdata rrset across TWO messages (XFR
+    answers legitimately span messages — the adapter must fold them).
+    """
+    dns_mod = types.ModuleType("dns")
+    query_mod = types.ModuleType("dns.query")
+    rdatatype_mod = types.ModuleType("dns.rdatatype")
+    message_mod = types.ModuleType("dns.message")
+
+    rdatatype_mod.IXFR = 251
+    rdatatype_mod.AXFR = 252
+    rdatatype_mod.SOA = 6
+    rdatatype_mod.A = 1
+    rdatatype_mod.to_text = lambda v: _RDTYPE_TEXT[v]
+
+    def xfr(where, zone, rdtype=None, serial=None, port=None, timeout=None,
+            relativize=None, **kw):
+        captured.update(
+            where=where, zone=zone, rdtype=rdtype, serial=serial,
+            port=port, timeout=timeout, relativize=relativize,
+        )
+        rrs = script(zone, serial)
+        sets = [
+            _FakeRRset(rtype, name, [_FakeRd(rtype, value, soa_serial)])
+            for rtype, name, value, soa_serial in rrs
+        ]
+        mid = max(1, len(sets) // 2)
+        yield _FakeMessage(sets[:mid])
+        yield _FakeMessage(sets[mid:])
+
+    def make_query(zone, rdtype):
+        captured["soa_query"] = (zone, rdtype)
+        return ("query", zone, rdtype)
+
+    def udp(q, where, port=None, timeout=None):
+        captured.update(udp_where=where, udp_port=port, udp_timeout=timeout)
+        rd = _FakeRd("SOA", f"ns1.{ZONE} host.{ZONE} 77", serial=77)
+        return _FakeMessage([_FakeRRset("SOA", ZONE, [rd])])
+
+    query_mod.xfr = xfr
+    query_mod.udp = udp
+    message_mod.make_query = make_query
+    dns_mod.query = query_mod
+    dns_mod.rdatatype = rdatatype_mod
+    dns_mod.message = message_mod
+    for name, mod in [
+        ("dns", dns_mod), ("dns.query", query_mod),
+        ("dns.rdatatype", rdatatype_mod), ("dns.message", message_mod),
+    ]:
+        monkeypatch.setitem(sys.modules, name, mod)
+
+
+def _soa(serial):
+    return ("SOA", ZONE, f"ns1.{ZONE} host.{ZONE} {serial}", serial)
+
+
+def test_dnspython_adapter_axfr_request_and_fold(monkeypatch):
+    captured = {}
+
+    def script(zone, serial):
+        assert serial == 0
+        return [
+            _soa(5),
+            ("NS", ZONE, f"ns1.{ZONE}", 0),
+            ("A", f"a.{ZONE}", "10.0.0.1", 0),
+            ("A", f"b.{ZONE}", "10.0.0.2", 0),
+            _soa(5),
+        ]
+
+    _install_fake_dns(monkeypatch, script, captured)
+    t = WireTransport("dns.example", port=5353, timeout=2.5)
+    res = t.transfer(ZONE, 0, None, axfr=True)
+    # dnsjava-parity request (Xfr.java:37-50): IXFR rdtype, serial 0,
+    # port/timeout forwarded, absolute names
+    assert captured["rdtype"] == 251 and captured["serial"] == 0
+    assert captured["port"] == 5353 and captured["timeout"] == 2.5
+    assert captured["relativize"] is False
+    assert res.kind == AXFR and res.serial == 5
+    # NS filtered (P1); records folded across the two messages
+    assert res.rows == [
+        (AXFR, f"a.{ZONE}", "10.0.0.1"),
+        (AXFR, f"b.{ZONE}", "10.0.0.2"),
+    ]
+
+
+def test_dnspython_adapter_ixfr_deltas(monkeypatch):
+    captured = {}
+
+    def script(zone, serial):
+        assert serial == 3
+        return [
+            _soa(5),
+            _soa(3), ("A", f"old.{ZONE}", "10.0.0.9", 0),
+            _soa(4), ("A", f"new.{ZONE}", "10.0.0.10", 0),
+            _soa(4), _soa(5), ("A", f"fin.{ZONE}", "10.0.0.11", 0),
+            _soa(5),
+        ]
+
+    _install_fake_dns(monkeypatch, script, captured)
+    t = WireTransport("dns.example")
+    res = t.transfer(ZONE, 3, 5, axfr=False)
+    assert res.kind == "IXFR" and res.serial == 5
+    assert res.rows == [
+        (IXFR_DELETE, f"old.{ZONE}", "10.0.0.9"),
+        (IXFR_ADD, f"new.{ZONE}", "10.0.0.10"),
+        (IXFR_ADD, f"fin.{ZONE}", "10.0.0.11"),
+    ]
+
+
+def test_dnspython_serial_poll(monkeypatch):
+    captured = {}
+    _install_fake_dns(monkeypatch, lambda z, s: [], captured)
+    t = WireTransport("dns.example", port=10053, timeout=1.5)
+    assert t.serial(ZONE) == 77
+    assert captured["soa_query"][0] == ZONE
+    assert captured["udp_port"] == 10053 and captured["udp_timeout"] == 1.5
+
+
+# --------------------------------------------------------------- live socket
+def _have_dnspython() -> bool:
+    try:
+        import dns.query  # noqa: F401, PLC0415
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _have_dnspython(), reason="dnspython not installed")
+def test_wire_against_live_tcp_server():
+    """Full stack: a real TCP server speaking dnspython-built DNS wire
+    (2-byte length framing per RFC 1035 §4.2.2) answers a genuine
+    dns.query.xfr from WireTransport."""
+    import socket
+    import threading
+
+    import dns.message
+    import dns.name
+    import dns.rdata
+    import dns.rdataclass
+    import dns.rdatatype
+    import dns.rrset
+
+    zone = dns.name.from_text(ZONE)
+
+    def _rrset(rdtype_text, name, text):
+        rr = dns.rrset.from_text(name, 300, "IN", rdtype_text, text)
+        return rr
+
+    def serve(sock):
+        conn, _ = sock.accept()
+        with conn:
+            raw = b""
+            while len(raw) < 2:
+                raw += conn.recv(2)
+            qlen = int.from_bytes(raw[:2], "big")
+            qraw = raw[2:]
+            while len(qraw) < qlen:
+                qraw += conn.recv(4096)
+            q = dns.message.from_wire(qraw)
+            resp = dns.message.make_response(q)
+            resp.answer = [
+                _rrset("SOA", ZONE, f"ns1.{ZONE} host.{ZONE} 5 1 1 1 1"),
+                _rrset("A", f"a.{ZONE}", "10.0.0.1"),
+                _rrset("SOA", ZONE, f"ns1.{ZONE} host.{ZONE} 5 1 1 1 1"),
+            ]
+            wire = resp.to_wire(max_size=65535)
+            conn.sendall(len(wire).to_bytes(2, "big") + wire)
+
+    sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    sock.bind(("127.0.0.1", 0))
+    sock.listen(1)
+    port = sock.getsockname()[1]
+    thread = threading.Thread(target=serve, args=(sock,), daemon=True)
+    thread.start()
+    try:
+        t = WireTransport("127.0.0.1", port=port, timeout=5.0)
+        res = t.transfer(ZONE, 0, None, axfr=True)
+        assert res.kind == AXFR and res.serial == 5
+        assert res.rows == [(AXFR, f"a.{ZONE}", "10.0.0.1")]
+    finally:
+        sock.close()
+        thread.join(timeout=5)
