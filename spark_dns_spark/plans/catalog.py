@@ -40,6 +40,68 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
+#: Round-4 window rotation (VERDICT r3 item 3).  The driver's
+#: correctness window covers roughly the first 50 catalog entries;
+#: rotation policy is per-round, so it lives HERE as one override map
+#: instead of being scattered across @register sites:
+#:
+#: - tier 5 (into the window): every query NEW or semantically CHANGED
+#:   this round, plus 20 of the 31 queries whose last green driver row
+#:   was r1/r2 — connector core retained, §2-operator diversity first
+#:   (changelog A1-A4/O1, F3-F6 functions, windows, sets, TPC-H core).
+#: - tier 6 (out of the window): queries green in BOTH r2 and r3 and
+#:   untouched this round, plus r3-green map-only singles — all still
+#:   regression-checked every round by the FULL-catalog oracle artifact
+#:   (ORACLE_FULL_r{N}.json, tools/check_oracle.py --json), which is
+#:   the ADVICE-r3 answer to rotation blind spots: the driver window
+#:   rotates, the local gate never does.
+_ROTATION_R4: dict[str, int] = {
+    # rotate IN — stale-green §2 operators
+    "changelog_latest_wins": 5,
+    "group_by_zone": 5,
+    "zone_serial_max": 5,
+    "exactly_once_check": 5,
+    "chronological_topk": 5,
+    "validate_updates": 5,
+    "distinct_zones": 5,
+    "fqdn_normalize": 5,
+    "zone_from_fqdn": 5,
+    "json_extract": 5,
+    "json_roundtrip": 5,
+    "changelog_max_by_variant": 5,
+    "dns_typosquat_levenshtein": 5,
+    "sessionize_window_native": 5,
+    "tumbling_window_counts": 5,
+    "tpch_q1_pricing_summary": 5,
+    "revenue_by_nation": 5,
+    "top_customers_per_nation": 5,
+    "lineitem_running_window": 5,
+    "segment_union_distinct": 5,
+    # rotate OUT — twice-green (r2+r3) and untouched this round
+    "changelog_snapshot": 6,
+    "dedup_exact_documents": 6,
+    "dedup_minhash_signatures": 6,
+    "dedup_ngram_jaccard": 6,
+    "dedup_simhash": 6,
+    "multimodal_binary_dedup": 6,
+    "multimodal_join": 6,
+    "sessionize_events": 6,
+    "sessionize_stream_stateful": 6,
+    "text_fingerprint": 6,
+    "text_language_id": 6,
+    "text_quality_by_source": 6,
+    "text_quality_score": 6,
+    "text_token_counts": 6,
+    # rotate OUT — r3-green map-only/sketch singles, untouched
+    "format_json_roundtrip": 6,
+    "format_csv_roundtrip": 6,
+    "skew_salted_count": 6,
+    "skew_salted_join": 6,
+    "sketch_kmv_distinct": 6,
+    "sample_stratified_hash": 6,
+    "embedding_quantize_int8": 6,
+}
+
 
 def register(
     name: str,
@@ -101,6 +163,8 @@ def catalog() -> dict[str, Query]:
     )
 
     order = {n: i for i, n in enumerate(_REGISTRY)}
+    for q in _REGISTRY.values():
+        q.tier = _ROTATION_R4.get(q.name, q.tier)
     return {
         q.name: q
         for q in sorted(_REGISTRY.values(), key=lambda q: (q.tier, order[q.name]))

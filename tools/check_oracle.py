@@ -14,7 +14,12 @@ Floats are stringified at full ``repr`` precision: a query only passes
 if it is bit-deterministic across engines (use the floor-round tricks
 from the catalog conventions, never bare ``round()`` on a blend).
 
-Usage:  python tools/check_oracle.py [sf_dir] [query ...]
+Usage:  python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` writes a per-query artifact in the driver's CORRECTNESS
+shape (rows/schema/hash matches + row counts) so the FULL catalog's
+cross-engine result can be committed each round regardless of which
+~50 entries the driver's rotating window happens to cover (ADVICE r3).
 """
 
 from __future__ import annotations
@@ -91,7 +96,7 @@ def table_hash(rows, colnames):
     return h.hexdigest()
 
 
-def run(sf_dir: str, only: list[str]) -> int:
+def run(sf_dir: str, only: list[str], json_out: str | None = None) -> int:
     import __spark_entry__ as entrymod
     from spark_dns_spark.session import get_session
 
@@ -108,13 +113,23 @@ def run(sf_dir: str, only: list[str]) -> int:
     from spark_dns_spark.session import release_all_caches
 
     failed = []
+    results: dict[str, dict] = {}
     names = only or sorted(qs)
     for name in names:
+        rec = results[name] = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
         try:
             sdf = qs[name](spark, sf_dir)
             scols, srows = _pandas_rows(sdf.toPandas())
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            rec["err"] = f"spark error: {e}"
             failed.append(name)
             continue
         finally:
@@ -124,22 +139,30 @@ def run(sf_dir: str, only: list[str]) -> int:
             leftover = release_all_caches(spark)
             if leftover > 0:
                 print(f"WARN {name}: {leftover} persistent RDDs survived release")
+        rec["spark_rows"] = len(srows)
         if name not in oracles:
+            rec.update(rows_match=True, schema_match=True, hash_match=True,
+                       err="rows-only (no oracle)")
             print(f"ok   {name}: rows-only ({len(srows)} rows, no oracle)")
             continue
         try:
             dcols, drows = _pandas_rows(con.execute(oracles[name]).df())
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            rec["err"] = f"duckdb error: {e}"
             failed.append(name)
             continue
+        rec["oracle_rows"] = len(drows)
         problems = []
-        if len(srows) != len(drows):
+        rec["rows_match"] = len(srows) == len(drows)
+        if not rec["rows_match"]:
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
-        if sorted(scols) != sorted(dcols):
+        rec["schema_match"] = sorted(scols) == sorted(dcols)
+        if not rec["schema_match"]:
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
         if not problems:
             hs, hd = table_hash(srows, scols), table_hash(drows, dcols)
+            rec["hash_match"] = hs == hd
             if hs != hd:
                 problems.append("value-hash mismatch")
                 # show a diff sample
@@ -159,11 +182,21 @@ def run(sf_dir: str, only: list[str]) -> int:
     print(f"\n{len(names) - len(failed)}/{len(names)} queries match")
     if failed:
         print("failed:", " ".join(failed))
+    if json_out:
+        import json
+
+        Path(json_out).write_text(json.dumps(results, indent=2) + "\n")
+        print(f"wrote {json_out} ({len(results)} queries)")
     return 1 if failed else 0
 
 
 if __name__ == "__main__":
     args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args[0] if args and Path(args[0]).is_dir() else "/root/testdata/sf0.01"
     only = args[1:] if args and Path(args[0]).is_dir() else args
-    sys.exit(run(sf_dir, only))
+    sys.exit(run(sf_dir, only, json_out))
