@@ -96,6 +96,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     count_only: dict[str, float] = {}
     skipped: list[str] = []
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
@@ -104,46 +105,15 @@ def main() -> None:
             skipped.append(name)
             print(f"# SKIPPED (not in catalog): {name}", file=sys.stderr)
             continue
-        # min of 2 back-to-back runs per query: the shared host shows
-        # ±40% CPU-contention noise on identical code, which a single
-        # sample can't distinguish from a regression.  Both runs are
-        # full end-to-end executions (plan build + execute + consume;
-        # the catalog wrapper clears caches at entry), so the min is a
-        # noise floor, not a cache artifact.  Both samples print below.
-        # one count-only sample per query BEFORE the consuming runs: the
-        # r1/r2 records were count()-timed, so the 2x-regression bar
-        # needs a like-with-like number — for map-heavy sub-second
-        # queries the consuming hash alone adds ~2x (measured 0.33s ->
-        # 0.62s on lineitem_running_window).  Recorded separately in
-        # "count_only"; the headline metric stays the consuming time.
-        t0 = time.monotonic()
-        fn(spark, sf_dir).select(F.count(F.lit(1))).collect()
-        count_only[name] = round(time.monotonic() - t0, 3)
-        release_all_caches(spark)
-        runs = []
-        for _ in range(2):
-            t0 = time.monotonic()
-            df = fn(spark, sf_dir)
-            row = df.select(
-                F.count(F.lit(1)).alias("n"),
-                # bit_xor, not sum: ANSI mode makes a long-sum of hashes
-                # overflow; xor consumes every column just the same.
-                F.bit_xor(
-                    F.xxhash64(*[F.col(c) for c in df.columns])
-                ).alias("h"),
-            ).collect()[0]
-            runs.append(round(time.monotonic() - t0, 3))
-            # release this query's caches the moment its result is
-            # consumed (untimed — comparability with earlier rounds):
-            # no query's execution should carry a predecessor's blocks,
-            # and run 2 must rebuild its caches like run 1 did.
+        try:
+            _time_query(spark, sf_dir, name, fn, timings, count_only)
+        except Exception as exc:  # noqa: BLE001
+            # one broken query must never zero out the round's perf
+            # signal (BENCH_r05 died on its 3rd query): record the
+            # error, keep the rest of the run honest.
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# ERROR {name}: {errors[name]}", file=sys.stderr)
             release_all_caches(spark)
-        timings[name] = min(runs)
-        print(
-            f"# {name}: {timings[name]:.3f}s ({row['n']} rows; "
-            f"runs={runs})",
-            file=sys.stderr,
-        )
 
     sf = float(Path(sf_dir).name.replace("sf", "") or 0)
     out = {
@@ -156,7 +126,52 @@ def main() -> None:
     }
     if skipped:
         out["skipped"] = skipped
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
+
+
+def _time_query(spark, sf_dir, name, fn, timings, count_only) -> None:
+    # min of 2 back-to-back runs per query: the shared host shows
+    # ±40% CPU-contention noise on identical code, which a single
+    # sample can't distinguish from a regression.  Both runs are
+    # full end-to-end executions (plan build + execute + consume;
+    # the catalog wrapper clears caches at entry), so the min is a
+    # noise floor, not a cache artifact.  Both samples print below.
+    # one count-only sample per query BEFORE the consuming runs: the
+    # r1/r2 records were count()-timed, so the 2x-regression bar
+    # needs a like-with-like number — for map-heavy sub-second
+    # queries the consuming hash alone adds ~2x (measured 0.33s ->
+    # 0.62s on lineitem_running_window).  Recorded separately in
+    # "count_only"; the headline metric stays the consuming time.
+    t0 = time.monotonic()
+    fn(spark, sf_dir).select(F.count(F.lit(1))).collect()
+    count_only[name] = round(time.monotonic() - t0, 3)
+    release_all_caches(spark)
+    runs = []
+    for _ in range(2):
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor, not sum: ANSI mode makes a long-sum of hashes
+            # overflow; xor consumes every column just the same.
+            F.bit_xor(
+                F.xxhash64(*[F.col(c) for c in df.columns])
+            ).alias("h"),
+        ).collect()[0]
+        runs.append(round(time.monotonic() - t0, 3))
+        # release this query's caches the moment its result is
+        # consumed (untimed — comparability with earlier rounds):
+        # no query's execution should carry a predecessor's blocks,
+        # and run 2 must rebuild its caches like run 1 did.
+        release_all_caches(spark)
+    timings[name] = min(runs)
+    print(
+        f"# {name}: {timings[name]:.3f}s ({row['n']} rows; "
+        f"runs={runs})",
+        file=sys.stderr,
+    )
 
 
 if __name__ == "__main__":

@@ -45,6 +45,20 @@ def zone_from_fqdn(c: Column | str) -> Column:
     return fqdn_normalize(F.regexp_replace(fqdn_normalize(c), r"^[^.]+\.", ""))
 
 
+def epoch_micros(c: Column | str) -> Column:
+    """Microseconds since epoch, robust to TIMESTAMP vs TIMESTAMP_NTZ.
+
+    ``F.unix_micros`` only accepts TIMESTAMP (with-local-timezone), but
+    parquet written without the isAdjustedToUTC flag is inferred as
+    TIMESTAMP_NTZ by PySpark 4.x.  Casting NTZ → TIMESTAMP interprets
+    the naive wall-clock in the session timezone — pinned to UTC by
+    :data:`spark_dns_spark.session.RUNTIME_CONF` — so the result is
+    exact either way, and a no-op cast when the column is already LTZ.
+    Use this everywhere instead of raw ``F.unix_micros``.
+    """
+    return F.unix_micros(_col(c).cast("timestamp"))
+
+
 def json_get(c: Column | str, path: str) -> Column:
     """F4 — extract one field from a JSON string column.
 

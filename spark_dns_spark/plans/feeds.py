@@ -21,18 +21,33 @@ from pyspark.sql import functions as F
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read ``events.parquet``, whose ``ts`` is parquet TIMESTAMP(NANOS).
+    """Read ``events.parquet`` robustly across testdata generations.
 
-    Spark refuses nanosecond parquet timestamps; DuckDB truncates them
-    to microseconds at scan.  We read nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to micros
-    ourselves so both engines see identical values.
+    The driver has regenerated this table with different writers:
+    parquet TIMESTAMP(NANOS) (Spark refuses; read nanos-as-long and
+    truncate to micros like DuckDB's scan does) and arrow
+    ``timestamp[us]`` without the UTC flag (inferred TIMESTAMP_NTZ
+    unless the session conf disables that; cast to LTZ — exact under
+    the pinned UTC session timezone).  All paths land on a plain
+    ``timestamp`` column with identical micros values in both engines.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if dict(ev.dtypes).get("ts") in ("bigint", "long"):
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return ev
+    return normalize_ts(ev)
+
+
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Land ``col`` on plain ``timestamp`` whatever the scan produced:
+    nanos-as-long (truncate to micros), TIMESTAMP_NTZ (cast — exact
+    under the pinned UTC session timezone), or already LTZ (no-op)."""
+    ts_type = dict(df.dtypes).get(col)
+    if ts_type in ("bigint", "long"):
+        return df.withColumn(
+            col, F.timestamp_micros(F.expr(f"{col} div 1000"))
+        )
+    if ts_type == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def dns_changes(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_dns_spark.functions.dnsfn import (
+    epoch_micros,
     fqdn_normalize,
     json_get,
     zone_from_fqdn,
@@ -84,7 +85,7 @@ def changelog_max_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     # larger id win, detaching last_event_id from last_ts.)
     df = dns_changes(spark, sf_dir)
     order_key = (
-        F.unix_micros(F.col("ts")).cast("decimal(38,0)") * F.lit(17179869184)
+        epoch_micros(F.col("ts")).cast("decimal(38,0)") * F.lit(17179869184)
         + F.col("event_id")
     )
     return df.groupBy("action", "fqdn", "ip").agg(

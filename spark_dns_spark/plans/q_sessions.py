@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from spark_dns_spark.functions.dnsfn import epoch_micros
 from spark_dns_spark.plans.catalog import register
 from spark_dns_spark.plans.feeds import load_events
 
@@ -62,7 +63,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("ts").over(w)
     new_s = F.when(
         prev.isNull()
-        | (F.unix_micros(F.col("ts")) > F.unix_micros(prev) + gap_us),
+        | (epoch_micros(F.col("ts")) > epoch_micros(prev) + gap_us),
         F.lit(1),
     ).otherwise(F.lit(0))
     sess = ev.withColumn(
@@ -72,7 +73,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
-        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+        (epoch_micros(F.max("ts")) - epoch_micros(F.min("ts"))).alias(
             "duration_us"
         ),
         F.count("*").alias("n_events"),
@@ -171,7 +172,8 @@ def sessionize_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from spark_dns_spark.streaming.stateful import sessionize_stream
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from spark_dns_spark.plans.feeds import normalize_ts
+
     out_root = tempfile.mkdtemp(prefix="sessionize_stream_")
     # the streaming file source wants a directory; stage the single
     # events file behind a symlink
@@ -181,15 +183,16 @@ def sessionize_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "events.parquet"),
         os.path.join(src_dir, "events.parquet"),
     )
-    src = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
-        .parquet(src_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select("ts", "user_id", "value")
-    )
+    # derive the stream schema from the SAME batch scan every other
+    # catalog query sees, then normalize ts identically to the batch
+    # feed — so a regenerated-testdata type shift (nanos → micros →
+    # NTZ) can never desynchronize this path again (r5: a hard-coded
+    # `ts long` schema read the micros-typed rewrite as zero rows).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    physical = spark.read.parquet(src_dir).schema
+    src = normalize_ts(
+        spark.readStream.schema(physical).parquet(src_dir)
+    ).select("ts", "user_id", "value")
     out = os.path.join(out_root, "out")
     q = (
         sessionize_stream(src, gap_min=GAP_MIN)

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from spark_dns_spark.functions.dnsfn import epoch_micros
 from spark_dns_spark.plans.catalog import register
 from spark_dns_spark.plans.feeds import load_events
 
@@ -79,7 +80,7 @@ def asof_join_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_error_ts",
         F.when(
             F.col("last_error_ts").isNotNull(),
-            F.unix_micros("ts") - F.unix_micros("last_error_ts"),
+            epoch_micros("ts") - epoch_micros("last_error_ts"),
         ).alias("us_since_error"),
     )
 
@@ -102,7 +103,7 @@ FROM events a JOIN events b
 )
 def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id")
-    bucket = (F.unix_micros("ts") / F.lit(RANGE_S * 1_000_000)).cast("long")
+    bucket = (epoch_micros("ts") / F.lit(RANGE_S * 1_000_000)).cast("long")
     # probe each row against its own and the NEXT bucket of the build
     # side (b.ts ∈ [a.ts, a.ts+300s] spans at most 2 buckets)
     a = ev.select(
@@ -120,8 +121,8 @@ def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, ["user_id", "bucket"]).filter(
         (F.col("ts_b") >= F.col("ts_a"))
         & (
-            F.unix_micros("ts_b")
-            <= F.unix_micros("ts_a") + RANGE_S * 1_000_000
+            epoch_micros("ts_b")
+            <= epoch_micros("ts_a") + RANGE_S * 1_000_000
         )
         & (F.col("id_a") < F.col("id_b"))
     )
@@ -129,5 +130,5 @@ def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a",
         "id_b",
         "user_id",
-        (F.unix_micros("ts_b") - F.unix_micros("ts_a")).alias("gap_us"),
+        (epoch_micros("ts_b") - epoch_micros("ts_a")).alias("gap_us"),
     )

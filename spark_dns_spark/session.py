@@ -18,6 +18,11 @@ from pyspark.sql import SparkSession
 RUNTIME_CONF = {
     # Deterministic timestamps vs the DuckDB oracle (naive-UTC parquet).
     "spark.sql.session.timeZone": "UTC",
+    # Arrow-written parquet without the isAdjustedToUTC flag would
+    # otherwise be inferred as TIMESTAMP_NTZ (PySpark 4.x), changing the
+    # column type under every temporal expression.  Read it as LTZ; the
+    # pinned UTC session timezone keeps wall-clock values identical.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Runtime re-planning: partition coalescing, skew-join splitting.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

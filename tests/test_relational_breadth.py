@@ -18,6 +18,7 @@ import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from spark_dns_spark.functions.dnsfn import epoch_micros
 from spark_dns_spark.plans.feeds import load_events
 from tools.check_oracle import TABLES, table_hash
 
@@ -49,7 +50,7 @@ def _milli_events(spark, sf_dir):
     return ev.select(
         "event_id",
         "user_id",
-        F.unix_micros("ts").alias("ts_us"),
+        epoch_micros("ts").alias("ts_us"),
         F.floor(F.col("value") * 1000 + F.lit(0.5))
         .cast("long")
         .alias("v_milli"),
