@@ -312,9 +312,14 @@ def events_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("v_milli"),
     )
+    # Aggregate in decimal(38,0) from the start: Spark's sum(long) stays
+    # long (wraps / throws under ANSI at ~1e19), while DuckDB promotes
+    # integer sums to HUGEINT — at 100 TB sum(v_milli^2) clears int64
+    # long before the filter arithmetic does.
+    dec = "decimal(38,0)"
     s = b.groupBy("user_id").agg(
-        F.sum("v_milli").alias("s"),
-        F.sum(F.col("v_milli") * F.col("v_milli")).alias("q"),
+        F.sum(F.col("v_milli").cast(dec)).alias("s"),
+        F.sum(F.col("v_milli").cast(dec) * F.col("v_milli")).alias("q"),
         F.count(F.lit(1)).alias("n"),
     )
     # No broadcast hint: per-user stats grow with user cardinality, so
@@ -325,7 +330,6 @@ def events_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # could overflow on the Spark side only — wrapping (or throwing
     # under ANSI) while the oracle stays exact.  decimal(38,0) gives
     # both engines the same ~1e38 headroom, still integer-exact.
-    dec = "decimal(38,0)"
     x = F.col("v_milli").cast(dec)
     n_, s_, q_ = (F.col(c).cast(dec) for c in ("n", "s", "q"))
     d = x * n_ - s_
