@@ -192,7 +192,7 @@ def band_signatures(
     return out
 
 
-def dot_unrolled(a: Column, b: Column, dim: int = DIM) -> Column:
+def dot_unrolled(a: Column | str, b: Column | str, dim: int = DIM) -> Column:
     """Codegen-friendly :func:`dot`: the fold unrolled into a plain
     ``0.0 + a[0]*b[0] + ... + a[dim-1]*b[dim-1]`` expression tree.
 
@@ -202,7 +202,18 @@ def dot_unrolled(a: Column, b: Column, dim: int = DIM) -> Column:
     bit-identical — but the whole thing stays inside whole-stage
     codegen: no interpreted HOF, no Arrow hop, no vector bytes shipped
     to Python.  The fastest formulation when vectors are already
-    attached to the row (e.g. after the broadcast pair joins)."""
+    attached to the row (e.g. after the broadcast pair joins).
+
+    Pass column NAMES where possible: the string form builds the whole
+    tree as ONE ``F.expr`` (one py4j round-trip, parsed JVM-side and
+    left-associative like the fold) instead of ~4·dim gateway calls —
+    measured ~1 s of driver-side plan-build latency per call site at
+    dim=64, the dominant cold-start cost of the similarity queries.
+    ``0.0D`` keeps the seed a double (bare ``0.0`` parses as decimal).
+    """
+    if isinstance(a, str) and isinstance(b, str):
+        terms = "".join(f" + {a}[{i}]*{b}[{i}]" for i in range(dim))
+        return F.expr("0.0D" + terms)
     acc = F.lit(0.0)
     for i in range(dim):
         acc = acc + a[i] * b[i]
@@ -404,7 +415,7 @@ def attach_cosine(
         .join(vb, id_b)
         .withColumn(
             out,
-            dot_unrolled(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+            dot_unrolled("_va", "_vb") / (F.col("_na") * F.col("_nb")),
         )
         .drop("_va", "_vb", "_na", "_nb")
     )

@@ -126,7 +126,7 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts provide splits.  Persist at the fan-out: every consumer
     # branches 2-3 ways (query side, corpus side, candidate build).
     return spread(
-        e.withColumn("nm", F.sqrt(sim.dot_unrolled(F.col("v"), F.col("v"))))
+        e.withColumn("nm", F.sqrt(sim.dot_unrolled("v", "v")))
     ).persist()
 
 
@@ -259,15 +259,19 @@ _IVF_CTE = (
 )
 
 
-def _dist2(v, cv):
+def _dist2(v: str, cv: str):
     # unrolled (x_i-y_i)^2 fold — same IEEE sequence as the zip_with/
     # aggregate HOF and the oracle's dist2_sql, but whole-stage codegen
-    # instead of ~1.5 ms/row interpreted evaluation.
-    acc = F.lit(0.0)
-    for i in range(sim.DIM):
-        d = v[i] - cv[i]
-        acc = acc + d * d
-    return acc
+    # instead of ~1.5 ms/row interpreted evaluation.  Built as ONE
+    # F.expr string (single py4j round-trip) — the per-getItem Column
+    # form costs ~1 s of driver-side plan building at dim=64 (the
+    # subtraction is evaluated twice per term; both evaluations round
+    # identically, so the fold stays bit-identical to the HOF/oracle).
+    terms = "".join(
+        f" + ({v}[{i}]-{cv}[{i}])*({v}[{i}]-{cv}[{i}])"
+        for i in range(sim.DIM)
+    )
+    return F.expr("0.0D" + terms)
 
 
 @register(
@@ -317,7 +321,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a pairwise blowup.  Corpus-side stays partition-parallel.
     asg = (
         n.crossJoin(F.broadcast(cent))
-        .withColumn("d2", _dist2(F.col("v"), F.col("cv")))
+        .withColumn("d2", _dist2("v", "cv"))
         .withColumn("rn", F.row_number().over(wv))
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("label").alias("cell"))
@@ -325,7 +329,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = (
         n.filter(F.col("vec_id") % QMOD == 0)
         .crossJoin(F.broadcast(cent))
-        .withColumn("d2", _dist2(F.col("v"), F.col("cv")))
+        .withColumn("d2", _dist2("v", "cv"))
         .withColumn("rn", F.row_number().over(wv))
         .filter(F.col("rn") <= NPROBE)
         .select(F.col("vec_id").alias("query_id"), F.col("label").alias("cell"))

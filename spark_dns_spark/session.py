@@ -110,6 +110,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _size_bytes(conf_value: str) -> int:
+    """Parse a Spark size conf ('128MB', '134217728b', '1g') to bytes."""
+    s = conf_value.strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
+        ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    return int(s) * mult
+
+
 def spread(df):
     """Repartition up to the cluster's parallelism when the scan yields
     fewer splits than cores — e.g. one small parquet file feeding an
@@ -119,8 +134,48 @@ def spread(df):
     is a no-op; it never repartitions *down* and never touches an
     already-parallel input, so no shuffle is added where scan splits
     already spread the load.
+
+    The split count is ESTIMATED from file metadata
+    (ceil(size / maxPartitionBytes) per input file) instead of
+    ``df.rdd.getNumPartitions()``: the RDD conversion runs full
+    physical planning a second time (~0.5 s of driver latency per
+    call, the dominant plan-build cost of every spread-using query),
+    while listing + stat-ing files is a handful of py4j calls — and
+    only needed at all when the file count alone is below target.
+    Falls back to the precise RDD check for non-file sources.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        # non-file plan (e.g. in-memory test frames): precise check
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+        return df
+    if len(files) >= target:
+        return df
+    try:
+        max_bytes = _size_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+        )
+    except Exception:
+        max_bytes = 128 << 20
+    try:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        splits = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            ln = p.getFileSystem(hconf).getFileStatus(p).getLen()
+            splits += max(1, -(-int(ln) // max_bytes))
+            if splits >= target:
+                return df
+    except Exception:
+        # metadata unavailable → behave like the small-file case
+        splits = len(files)
+    if splits < target:
         return df.repartition(target)
     return df
