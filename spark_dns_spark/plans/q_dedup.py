@@ -52,7 +52,7 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache the tokenize→shingle→md5 pipeline re-runs per consumer.
     hs = sh.select("doc_id", dd.shingle_hashes(F.col("sh")).alias("hs")).persist()
     return hs.filter(F.size("hs") > 0).select(
-        "doc_id", "hs", *dd.minhash_signature(F.col("hs"), NUM_HASHES)
+        "doc_id", "hs", *dd.minhash_signature("hs", NUM_HASHES)
     )
 
 
