@@ -102,6 +102,29 @@ _ROTATION_R4: dict[str, int] = {
     "embedding_quantize_int8": 6,
 }
 
+#: Round-6 rotation, layered over the r4 map (later map wins).  Policy
+#: unchanged: everything semantically CHANGED this round enters the
+#: window; twice-green untouched shapes leave to make room.  Changed in
+#: r6 and previously rotated out: the two sessionizers (NTZ rebuild +
+#: stream-schema derivation) and the two signature queries whose
+#: expression construction was rewritten (simhash_agg / minhash expr
+#: fast path).  Rotated out to compensate: four r5-green untouched
+#: queries, each leaving a same-family representative in the window
+#: (typosquat_blocked, sessionize_window_native, json_extract,
+#: segment_intersect_except).
+_ROTATION_R6: dict[str, int] = {
+    # rotate IN — changed this round
+    "sessionize_events": 5,
+    "sessionize_stream_stateful": 5,
+    "dedup_simhash": 5,
+    "dedup_minhash_signatures": 5,
+    # rotate OUT — r5-green, untouched in r6
+    "dns_typosquat_levenshtein": 6,
+    "tumbling_window_counts": 6,
+    "json_roundtrip": 6,
+    "segment_union_distinct": 6,
+}
+
 
 def register(
     name: str,
@@ -163,8 +186,9 @@ def catalog() -> dict[str, Query]:
     )
 
     order = {n: i for i, n in enumerate(_REGISTRY)}
+    rotation = {**_ROTATION_R4, **_ROTATION_R6}
     for q in _REGISTRY.values():
-        q.tier = _ROTATION_R4.get(q.name, q.tier)
+        q.tier = rotation.get(q.name, q.tier)
     return {
         q.name: q
         for q in sorted(_REGISTRY.values(), key=lambda q: (q.tier, order[q.name]))
