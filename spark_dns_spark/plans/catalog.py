@@ -177,6 +177,7 @@ def catalog() -> dict[str, Query]:
         q_formats,
         q_curation,
         q_mlprep,
+        q_packing,
         q_changelog,
         q_multimodal,
         q_sessions,
