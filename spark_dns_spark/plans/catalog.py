@@ -178,6 +178,7 @@ def catalog() -> dict[str, Query]:
         q_curation,
         q_mlprep,
         q_packing,
+        q_kmeans,
         q_changelog,
         q_multimodal,
         q_sessions,

@@ -1,0 +1,159 @@
+"""Lloyd's k-means over embeddings — the canonical *iterative* ML
+algorithm, expressed the way iterative algorithms are actually run on
+Spark (MLlib KMeans does exactly this): centroids are a K-row
+driver-side model, each iteration is one broadcast-free map (the
+centroid literals are inlined into a whole-stage-codegen argmin
+expression) plus one map-side-combinable aggregate that ships only
+K x (DIM+1) partial sums per partition — the VECTORS NEVER SHUFFLE.
+That is the whole 100 TB story: per iteration the data moves zero
+times, and the driver state is K*DIM integers.
+
+Cross-engine exactness (the oracle problem for float k-means is float
+summation order): vectors are quantized to integers once
+(``floor(v*SCALE + 0.5)``), distances are integer sums of squares, and
+the centroid update is ``floor(S_i / m)`` — an IEEE-754 double
+division of two exactly-representable integers, bit-identical in
+Spark, DuckDB, and Python.  Every assignment and every updated
+centroid is therefore EXACTLY equal in both engines at any scale —
+no rounding-tolerance in the oracle, hash equality holds.
+
+Fixed ``ITERS`` keeps the oracle a finite CTE chain; production runs
+the same per-iteration plan to convergence (pointer-doubling CC in
+q_cluster.py is the sibling pattern with a convergence loop).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_dns_spark.operators import similarity as sim
+from spark_dns_spark.plans.catalog import register
+from spark_dns_spark.session import load_table
+
+K = 8  #: clusters (seeds = the K smallest vec_ids)
+ITERS = 2  #: Lloyd iterations (assign -> update, twice; then final assign)
+SCALE = 1000  #: integer quantization: q_i = floor(v_i * SCALE + 0.5)
+DIM = sim.DIM
+
+
+def _int_dist(cv: list[int]) -> str:
+    """Spark codegen integer ||q - c||^2 with the centroid inlined as
+    literals over scalar columns q0..q{DIM-1}."""
+    return "0L" + "".join(
+        f" + (q{i} - {int(c)})*(q{i} - {int(c)})" for i, c in enumerate(cv)
+    )
+
+
+def _dist_sql(qv: str, cv: str) -> str:
+    """DuckDB integer ||qv - cv||^2 fold over two BIGINT lists (1-based)."""
+    return "0" + "".join(
+        f" + ({qv}[{i}]-{cv}[{i}])*({qv}[{i}]-{cv}[{i}])" for i in range(1, DIM + 1)
+    )
+
+
+_Q_COLS_SQL = ", ".join(
+    f"CAST(floor(v[{i}]*{SCALE} + 0.5) AS BIGINT)" for i in range(1, DIM + 1)
+)
+
+_KMEANS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id, [{_Q_COLS_SQL}] AS qv FROM e
+), seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cv
+  FROM q ORDER BY vec_id LIMIT {K}
+), asg1 AS (
+  SELECT vec_id, qv, cell FROM (
+    SELECT q.vec_id, q.qv, s.cell,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_dist_sql("q.qv", "s.cv")} ASC, s.cell) AS rn
+    FROM q, seeds s
+  ) WHERE rn = 1
+), upd AS (
+  SELECT cell, i,
+         CAST(floor((sum(qv[i]))::DOUBLE / count(*)) AS BIGINT) AS c
+  FROM asg1, (SELECT unnest(generate_series(1, {DIM})) AS i)
+  GROUP BY cell, i
+), cent2 AS (
+  SELECT cell, list(c ORDER BY i) AS cv FROM upd GROUP BY cell
+), cent2f AS (
+  SELECT s.cell, coalesce(c2.cv, s.cv) AS cv
+  FROM seeds s LEFT JOIN cent2 c2 USING (cell)
+)
+SELECT vec_id, cell, dist2 FROM (
+  SELECT q.vec_id, c.cell, {_dist_sql("q.qv", "c.cv")} AS dist2,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_dist_sql("q.qv", "c.cv")} ASC, c.cell) AS rn
+  FROM q, cent2f c
+) WHERE rn = 1
+"""
+
+
+def _assign(q: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """One Lloyd assignment pass: centroid literals inlined, argmin via
+    array_position-of-min (first index = smallest cell wins ties, the
+    same order the oracle's ``ORDER BY dist, cell`` imposes)."""
+    dists = [F.expr(_int_dist(cv)).alias(f"d{j}") for j, cv in enumerate(cents)]
+    arr = F.array(*[F.col(f"d{j}") for j in range(len(cents))])
+    return (
+        q.select("*", *dists)
+        .select(
+            "*",
+            (F.array_position(arr, F.array_min(arr)) - 1).alias("cell"),
+            F.array_min(arr).alias("dist2"),
+        )
+    )
+
+
+@register(
+    "kmeans_lloyd_cells",
+    _KMEANS_SQL,
+    doc=f"Lloyd k-means, {ITERS} iterations, k={K}: integer-quantized "
+    "vectors, centroid literals inlined into a codegen argmin (no join, "
+    "no vector shuffle — only K x (DIM+1) aggregate partials move per "
+    "iteration), floor-division centroid update exact in both engines",
+    tags=("similarity", "mlprep", "iterative"),
+)
+def kmeans_lloyd_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.select(
+        "vec_id",
+        *[
+            F.expr(f"CAST(floor(v[{i}]*{SCALE}D + 0.5D) AS BIGINT)").alias(f"q{i}")
+            for i in range(DIM)
+        ],
+    ).persist()
+
+    seed_rows = q.orderBy("vec_id").limit(K).collect()
+    if not seed_rows:
+        return q.select(
+            "vec_id",
+            F.lit(0).cast("long").alias("cell"),
+            F.lit(0).cast("long").alias("dist2"),
+        )
+    cents = [[int(r[f"q{i}"]) for i in range(DIM)] for r in seed_rows]
+
+    for _ in range(ITERS - 1):
+        asg = _assign(q, cents)
+        sums = asg.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("m"),
+            *[F.sum(f"q{i}").alias(f"s{i}") for i in range(DIM)],
+        ).collect()
+        upd = {
+            int(r["cell"]): [
+                math.floor(int(r[f"s{i}"]) / int(r["m"])) for i in range(DIM)
+            ]
+            for r in sums
+        }
+        # empty cells keep their previous centroid (standard Lloyd)
+        cents = [upd.get(j, cents[j]) for j in range(len(cents))]
+
+    return _assign(q, cents).select("vec_id", "cell", "dist2")
