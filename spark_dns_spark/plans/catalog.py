@@ -123,6 +123,17 @@ _ROTATION_R6: dict[str, int] = {
     "tumbling_window_counts": 6,
     "json_roundtrip": 6,
     "segment_union_distinct": 6,
+    # rotate IN — NEW this round (packing + kmeans tiers); three green
+    # untouched shapes rotate out to hold the window at ~50, each with
+    # a same-family representative remaining (windows: hypertable_rollup
+    # + sessionize_window_native; text map-passes: text_quality_score;
+    # broadcast star joins: revenue_by_nation)
+    "pack_tokens_stream": 5,
+    "pack_greedy_bins": 5,
+    "kmeans_lloyd_cells": 5,
+    "lineitem_running_window": 6,
+    "text_token_counts": 6,
+    "top_customers_per_nation": 6,
 }
 
 
