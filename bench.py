@@ -55,6 +55,11 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "tfidf_top_terms",
     "events_user_zscore",
+    # round-6 tier (BASELINE.md: totals across rounds compare the
+    # 27-query prefix; these three are new in r6)
+    "pack_tokens_stream",
+    "pack_greedy_bins",
+    "kmeans_lloyd_cells",
 ]
 
 
