@@ -35,16 +35,12 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     if fmt == "csv":
         writer = writer.option("header", "true")
     getattr(writer, fmt)(path)
-    reader = spark.read
+    reader = spark.read.schema(
+        "event_id long, user_id long, event_type string, value double"
+    ).format(fmt)
     if fmt == "csv":
         reader = reader.option("header", "true")
-        back = reader.schema(
-            "event_id long, user_id long, event_type string, value double"
-        ).csv(path)
-    else:
-        back = reader.schema(
-            "event_id long, user_id long, event_type string, value double"
-        ).json(path)
+    back = reader.load(path)
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"),
         # milli-int sum: order-proof across engines AND proves the text
@@ -77,3 +73,15 @@ def format_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def format_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "csv")
+
+
+@register(
+    "format_orc_roundtrip",
+    _AGG_SQL,
+    doc="S11 breadth: same round-trip through ORC (Spark-native binary "
+    "columnar; typed storage makes value-exactness structural, the "
+    "query proves the write/read path end-to-end)",
+    tags=("formats",),
+)
+def format_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "orc")

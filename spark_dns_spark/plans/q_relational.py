@@ -508,3 +508,52 @@ def customers_order_stats_left(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_orderkey").isNull(), F.col("c_custkey"))
         ).alias("n_orderless"),
     )
+
+
+@register(
+    "orders_pivot_status",
+    """
+SELECT o_orderpriority,
+       count(*) FILTER (o_orderstatus = 'O')::BIGINT AS o_cnt,
+       count(*) FILTER (o_orderstatus = 'F')::BIGINT AS f_cnt,
+       count(*) FILTER (o_orderstatus = 'P')::BIGINT AS p_cnt,
+       coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                FILTER (o_orderstatus = 'O'), 0)::BIGINT AS o_cents,
+       coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                FILTER (o_orderstatus = 'F'), 0)::BIGINT AS f_cents,
+       coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                FILTER (o_orderstatus = 'P'), 0)::BIGINT AS p_cents
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="pivot (long->wide reshape): order counts and integer-cent "
+    "revenue per priority, one column pair per order status.  Spark's "
+    "pivot with an EXPLICIT value list stays a single hash aggregate "
+    "(no extra distinct-values job, map-side combinable — the only "
+    "pivot formulation that survives 100 TB); oracle is the equivalent "
+    "FILTER aggregation",
+    tags=("relational", "pivot"),
+)
+def orders_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    piv = (
+        orders.withColumn("cents", cents)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    # a (priority, status) cell with no rows pivots to NULL; the oracle's
+    # FILTER aggregation says 0 — coalesce at the projection, not the agg
+    zero = lambda c: F.coalesce(F.col(c), F.lit(0).cast("long"))  # noqa: E731
+    return piv.select(
+        "o_orderpriority",
+        zero("O_cnt").alias("o_cnt"),
+        zero("F_cnt").alias("f_cnt"),
+        zero("P_cnt").alias("p_cnt"),
+        zero("O_cents").alias("o_cents"),
+        zero("F_cents").alias("f_cents"),
+        zero("P_cents").alias("p_cents"),
+    )
