@@ -142,6 +142,25 @@ def pack_tokens_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def greedy_pack(tokens: list[int], budget: int = BUDGET) -> tuple[list[int], list[int]]:
+    """Next-fit greedy recurrence: accumulate into the current bin
+    until it would overflow, then open a new one.  Returns per-item
+    (bin_id, fill-after-insert).  Inputs must already be capped at
+    ``budget`` — the query does ``least(n_tok, budget)`` upstream."""
+    fill = 0
+    bin_id = 0
+    bins, fills = [], []
+    for t in tokens:
+        if fill + t > budget:
+            bin_id += 1
+            fill = t
+        else:
+            fill += t
+        bins.append(bin_id)
+        fills.append(fill)
+    return bins, fills
+
+
 _NSH_SQL = f"(SELECT greatest(64, (count(*) + {SHARD_DOCS - 1}) // {SHARD_DOCS}) FROM documents)"
 
 
@@ -187,18 +206,7 @@ def pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id", ignore_index=True)
-        fill = 0
-        bin_id = 0
-        fills, bins = [], []
-        for t in pdf["n_tok"]:
-            t = int(t)
-            if fill + t > BUDGET:
-                bin_id += 1
-                fill = t
-            else:
-                fill += t
-            bins.append(bin_id)
-            fills.append(fill)
+        bins, fills = greedy_pack([int(t) for t in pdf["n_tok"]])
         pdf["bin_id"] = pd.Series(bins, dtype="int64")
         pdf["bin_fill"] = pd.Series(fills, dtype="int64")
         return pdf[["doc_id", "shard", "n_tok", "bin_id", "bin_fill"]]

@@ -87,3 +87,45 @@ def test_greedy_bin_ids_dense(greedy_rows):
         by_shard.setdefault(r["shard"], set()).add(r["bin_id"])
     for shard, bins in by_shard.items():
         assert bins == set(range(max(bins) + 1)), f"shard {shard} skips a bin"
+
+
+# ---- property tests: the greedy recurrence as a pure function ----
+
+from hypothesis import given, strategies as st
+
+from spark_dns_spark.plans.q_packing import greedy_pack
+
+
+@given(st.lists(st.integers(min_value=0, max_value=BUDGET), max_size=200))
+def test_greedy_pack_properties(tokens):
+    bins, fills = greedy_pack(tokens)
+    assert len(bins) == len(fills) == len(tokens)
+    fill = 0
+    bin_id = 0
+    for t, b, f in zip(tokens, bins, fills):
+        # never overflows; fill is the exact running content
+        assert f <= BUDGET
+        if fill + t > BUDGET:
+            assert (b, f) == (bin_id + 1, t)
+        else:
+            assert (b, f) == (bin_id, fill + t)
+        bin_id, fill = b, f
+    # bin ids are a nondecreasing dense sequence starting at 0
+    if bins:
+        assert bins[0] == 0
+        assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=BUDGET), min_size=1, max_size=200)
+)
+def test_greedy_pack_wastes_less_than_one_budget_per_bin(tokens):
+    """Next-fit guarantee: any two consecutive bins together hold more
+    than one budget — the classic 2x bound on wasted space."""
+    bins, fills = greedy_pack(tokens)
+    per_bin: dict[int, int] = {}
+    for b, t in zip(bins, tokens):
+        per_bin[b] = per_bin.get(b, 0) + t
+    totals = [per_bin[b] for b in sorted(per_bin)]
+    for a, b in zip(totals, totals[1:]):
+        assert a + b > BUDGET
