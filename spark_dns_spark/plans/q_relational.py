@@ -557,3 +557,221 @@ def orders_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         zero("F_cents").alias("f_cents"),
         zero("P_cents").alias("p_cents"),
     )
+
+
+@register(
+    "tpch_q4_order_priority",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4 shape: correlated EXISTS whose inner predicate "
+    "references an OUTER column (l_shipdate > o_orderdate + 60d) — "
+    "planned as one LEFT SEMI shuffle join on l_orderkey with the "
+    "correlated inequality as a join residual; no subquery "
+    "re-execution per row, no driver round trips.  At 100 TB both "
+    "sides shuffle once on the same key and the semi join emits at "
+    "most one row per order.",
+    tags=("relational", "join", "subquery"),
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & late,
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q13_order_distribution",
+    """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+    doc="TPC-H Q13 shape: distribution-of-distributions.  The filter "
+    "lives in the OUTER JOIN's ON clause (not WHERE — that would drop "
+    "zero-order customers), then two aggregation levels: per-customer "
+    "count over the join, then a count of customers per count value.  "
+    "The second agg's input is one row per customer and its key "
+    "cardinality is tiny, so the only real shuffle is the first.",
+    tags=("relational", "join", "agg"),
+)
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = customer.join(
+        orders,
+        (customer.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "tpch_q18_large_orders",
+    """
+SELECT c_name, o_orderkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+       CAST(sum_qty AS BIGINT) AS sum_qty
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 300
+) big ON o_orderkey = big.l_orderkey
+""",
+    doc="TPC-H Q18 shape: IN-subquery-with-HAVING.  The quantity "
+    "aggregate runs FIRST (map-side combinable, one shuffle on "
+    "l_orderkey) and its HAVING output is a tiny key set, so Spark "
+    "broadcast-joins it into orders instead of semi-shuffling the "
+    "fact table twice; quantities are integer-valued doubles, summed "
+    "then cast so both engines compare exact BIGINTs.",
+    tags=("relational", "join", "subquery"),
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("total_cents"),
+            F.col("sum_qty").cast("long").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "tpch_q22_idle_rich_customers",
+    """
+SELECT c_mktsegment, count(*) AS numcust,
+       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS bal_cents
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY c_mktsegment
+""",
+    doc="TPC-H Q22 shape (phone prefix swapped for a recency "
+    "predicate): scalar aggregate subquery + NOT EXISTS anti-join, "
+    "run through ``spark.sql`` — Catalyst plans the uncorrelated "
+    "scalar as a separately-executed ScalarSubquery folded into the "
+    "scan filter (no join at all for the average; a DataFrame-side "
+    "1-row crossJoin would plan a BroadcastNestedLoopJoin instead), "
+    "and NOT EXISTS becomes a single left-anti join against the "
+    "recency-prefiltered orders side.",
+    tags=("relational", "join", "subquery"),
+)
+def tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("q22_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q22_orders")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(*) AS numcust,
+               sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS bal_cents
+        FROM q22_customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM q22_customer
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (
+            SELECT 1 FROM q22_orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+          )
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000, 0)
+                       AS BIGINT)) AS BIGINT) AS rev_milli
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, rev_milli
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE rev_milli = (SELECT max(rev_milli) FROM rev)
+""",
+    doc="TPC-H Q15 shape: aggregate view + scalar MAX subquery over "
+    "it.  Revenue is accumulated in integer milli-units (per-row "
+    "round, then BIGINT sum) so the max comparison — which selects "
+    "ROWS, not just values — is exact and summation-order-proof in "
+    "both engines.  The view is computed once and reused for both the "
+    "max (1-row broadcast) and the equality filter; supplier is a "
+    "broadcast dim.",
+    tags=("relational", "join", "subquery"),
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000, 0
+                ).cast("long")
+            ).alias("rev_milli")
+        )
+        # the view feeds BOTH the scalar max and the equality filter —
+        # persist so lineitem is scanned/aggregated once, not twice
+        # (released by the catalog's release_all_caches safety net)
+        .persist()
+    )
+    top = rev.agg(F.max("rev_milli").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("rev_milli") == F.col("max_rev"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "rev_milli")
+    )
