@@ -101,3 +101,55 @@ def decode_features(
             )
 
     return df.mapInPandas(_decode_batches, schema=DECODE_SCHEMA)
+
+
+#: Frame-sampling geometry: fixed-size frames, every STRIDE-th sampled.
+FRAME_BYTES = 64
+FRAME_STRIDE = 4
+
+#: Output schema of the frame sampler.
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_offset long, frame_byte long"
+
+
+def frame_sample(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frame_bytes: int = FRAME_BYTES,
+    stride: int = FRAME_STRIDE,
+) -> DataFrame:
+    """Sample every ``stride``-th fixed-size frame from a video-like
+    binary payload via ``mapInPandas`` (builder brief: "frame-sample").
+
+    The row-EXPANDING batch shape a real container demuxer needs: one
+    input row yields ``ceil(n_frames / stride)`` output rows, emitted
+    per Arrow batch (never materializing all frames of a batch row by
+    row on the driver).  The "decoder" is deterministic byte
+    arithmetic — frame i starts at ``i * frame_bytes`` and its feature
+    is the first byte value — so the whole demux plumbing has an exact
+    octet-level SQL oracle; a real ffmpeg/pyav demuxer swaps into the
+    same iterator body.
+    """
+
+    def _sample_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, offs, vals = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                n_frames = len(payload) // frame_bytes
+                for fi in range(0, n_frames, stride):
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    offs.append(fi * frame_bytes)
+                    vals.append(payload[fi * frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_offset": pd.Series(offs, dtype="int64"),
+                    "frame_byte": pd.Series(vals, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(_sample_batches, schema=FRAME_SCHEMA)

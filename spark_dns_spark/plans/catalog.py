@@ -134,6 +134,29 @@ _ROTATION_R6: dict[str, int] = {
     "lineitem_running_window": 6,
     "text_token_counts": 6,
     "top_customers_per_nation": 6,
+    # rotate IN — NEW in the r6 continuation: the TPC-H subquery family
+    # (correlated EXISTS, outer-join distribution, HAVING-subquery,
+    # scalar-agg + anti-join, scalar-max row selection) registers at
+    # q_relational's tail, so eight green untouched shapes rotate out
+    # to hold tier 5 at exactly 50.  Family representatives remaining
+    # in-window: zone_from_fqdn (F5/F6 scalar fns), group_by_zone +
+    # validate_updates (changelog A1/P4), changelog_max_by_variant
+    # (argmax/top-k family), text_pii_redact (text map-passes),
+    # tfidf_top_terms + events_user_zscore (ML-prep), domain_mix_rebalance
+    # (curation).  All eight stay under the full-catalog oracle gate.
+    "fqdn_normalize": 6,
+    "distinct_zones": 6,
+    "zone_serial_max": 6,
+    "chronological_topk": 6,
+    "json_extract": 6,
+    "text_repetition_filter": 6,
+    "vocab_top_bigrams": 6,
+    "quality_quantile_cutoff": 6,
+    # rotate IN — NEW: multimodal_frame_sample (tier-5 default); one
+    # more green untouched curation shape leaves to hold the window at
+    # 50 (text_pii_redact + contamination_ngram_overlap +
+    # dedup_cluster_representatives remain as curation family reps)
+    "domain_mix_rebalance": 6,
 }
 
 

@@ -126,3 +126,41 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         mm.payload_from_text("text").alias("payload"),
     )
     return mm.decode_features(blobs)
+
+
+@register(
+    "multimodal_frame_sample",
+    f"""
+WITH v AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text))::BIGINT AS n_bytes
+  FROM documents
+  WHERE CAST(doc_id % 3 AS INTEGER) = 2
+), f AS (
+  SELECT doc_id, hx,
+         unnest(range(0, n_bytes // {mm.FRAME_BYTES}, {mm.FRAME_STRIDE}))
+           AS fi
+  FROM v
+)
+SELECT doc_id,
+       fi AS frame_idx,
+       (fi * {mm.FRAME_BYTES})::BIGINT AS frame_offset,
+       CAST('0x' || substr(hx, CAST(fi * {mm.FRAME_BYTES} * 2 + 1 AS INT), 2)
+            AS INT) AS frame_byte
+FROM f
+""",
+    doc="video frame-sampling plumbing (builder brief): every 4th "
+    "64-byte frame of each video-kind payload, demuxed inside a "
+    "row-expanding Arrow mapInPandas — one input row fans out to "
+    "n_frames/stride output rows without driver involvement; the "
+    "frame feature is deterministic byte arithmetic so the demux "
+    "path has an exact octet-level oracle (hex-slicing LATERAL "
+    "generate_series on the DuckDB side)",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    videos = docs.filter((F.col("doc_id") % 3) == 2).select(
+        "doc_id", mm.payload_from_text("text").alias("payload")
+    )
+    return mm.frame_sample(videos)

@@ -98,3 +98,32 @@ def test_decode_survives_small_arrow_batches(spark, sf_dir):
             assert r.kind == ("image", "audio", "video")[doc_id % 3]
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_frame_sample_matches_sequential_replay(spark):
+    """The row-expanding demux must equal a driver-side sequential
+    replay of the same geometry — frame boundaries, stride, and byte
+    values, including docs shorter than one frame (zero rows) and
+    non-ASCII payloads (octet-level indexing)."""
+    texts = [
+        "x" * 300,          # 4 frames -> idx 0 sampled... (300//64 = 4)
+        "short",            # < 1 frame -> no rows
+        "é" * 200,          # 400 bytes (2/char) -> 6 frames
+        "",                 # empty -> no rows
+        "a" * 1024,         # 16 frames -> idx 0,4,8,12
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).select("doc_id", mm.payload_from_text("text").alias("payload"))
+    got = sorted(
+        (r["doc_id"], r["frame_idx"], r["frame_offset"], r["frame_byte"])
+        for r in mm.frame_sample(df).collect()
+    )
+    want = []
+    for i, t in enumerate(texts):
+        b = t.encode("utf-8")
+        for fi in range(0, len(b) // mm.FRAME_BYTES, mm.FRAME_STRIDE):
+            want.append((i, fi, fi * mm.FRAME_BYTES, b[fi * mm.FRAME_BYTES]))
+    assert got == sorted(want)
+    assert any(r[0] == 2 for r in got)  # non-ASCII doc did emit frames
+    assert not any(r[0] in (1, 3) for r in got)
