@@ -274,8 +274,7 @@ def _dist2(v: str, cv: str):
     return F.expr("0.0D" + terms)
 
 
-@register(
-    "similarity_topk_ivf",
+_IVF_SQL = (
     _IVF_CTE
     + f"""
 , probes AS (
@@ -292,13 +291,23 @@ def _dist2(v: str, cv: str):
   FROM probes p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.query_id
 )
 """
-    + _scored_topk_sql(""),
+    + _scored_topk_sql("")
+)
+
+
+@register(
+    "similarity_topk_ivf",
+    _IVF_SQL,
     doc=f"IVF ANN: coarse cells = per-label centroids (argmin L2), "
     f"queries probe {NPROBE}/10 cells; at 100 TB the cell is the "
     "partition key so a query scans 30% of the corpus, not 100%",
     tags=("similarity", "ivf"),
 )
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_topk(spark, sf_dir)
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -430,6 +439,49 @@ def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         bf.join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
+        .select(
+            "query_id",
+            "hits",
+            (F.col("hits") * F.lit(10000 // K)).alias("recall_e4"),
+        )
+    )
+
+
+@register(
+    "similarity_ivf_recall",
+    f"""
+WITH bf AS (
+  SELECT query_id, neighbor_id FROM ({_BF_SQL})
+), ivf AS (
+  SELECT query_id, neighbor_id FROM ({_IVF_SQL})
+)
+SELECT bf.query_id,
+       sum(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS hits,
+       (sum(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         * {10000 // K})::BIGINT AS recall_e4
+FROM bf LEFT JOIN ivf
+  ON ivf.query_id = bf.query_id AND ivf.neighbor_id = bf.neighbor_id
+GROUP BY bf.query_id
+""",
+    doc=f"self-measuring ANN quality for the IVF tier: recall@{K} "
+    f"against the exact brute-force ground truth per query — the "
+    f"accountability metric for the NPROBE={NPROBE} probe budget, "
+    "completing the measured-quality story for BOTH ANN index "
+    "families (LSH already has similarity_lsh_recall); integer-exact",
+    tags=("similarity", "ivf", "metric"),
+)
+def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = _bf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = (
+        _ivf_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        bf.join(ivf, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
         .select(

@@ -18,8 +18,9 @@ from pyspark.sql import functions as F
 #: set — zones, not rows; documented at the query).
 BNLJ_WHITELIST = {
     "similarity_topk_bruteforce",
-    # recall metric embeds the brute-force ground truth as a subplan
+    # recall metrics embed the brute-force ground truth as a subplan
     "similarity_lsh_recall",
+    "similarity_ivf_recall",
     "similarity_topk_ivf",
     "dns_typosquat_levenshtein",
     # 1-row scalar aggregates (w_total, n_max) cross-joined back onto a

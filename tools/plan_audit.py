@@ -22,6 +22,7 @@ BNLJ_OK = {
     # recall metric embeds the brute-force ground truth as a subplan
     "similarity_lsh_recall",
     "similarity_topk_ivf",
+    "similarity_ivf_recall",
     "dns_typosquat_levenshtein",
     # 1-row scalar aggregates (w_total, n_max) cross-joined onto a
     # 20-row dim — broadcast of single-row relations, the right plan
