@@ -60,6 +60,7 @@ HEADLINE = [
     "pack_tokens_stream",
     "pack_greedy_bins",
     "kmeans_lloyd_cells",
+    "graph_pagerank_transitions",
 ]
 
 
