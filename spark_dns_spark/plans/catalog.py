@@ -157,6 +157,18 @@ _ROTATION_R6: dict[str, int] = {
     # 50 (text_pii_redact + contamination_ngram_overlap +
     # dedup_cluster_representatives remain as curation family reps)
     "domain_mix_rebalance": 6,
+    # rotate IN — NEW: similarity_ivf_recall (tier-5 default); the
+    # cluster tier keeps dedup_cluster_assign + pointer_doubling as
+    # its in-window representatives
+    "dedup_cluster_representatives": 6,
+    # rotate IN — NEW: graph_pagerank_transitions (tier-5 default);
+    # the ML-prep tier keeps tfidf_top_terms + events_user_zscore as
+    # its in-window representatives
+    "dedup_incremental_batch": 6,
+    # rotate IN — NEW: layout_zorder_events (tier-5 default); the
+    # curation tier keeps contamination_ngram_overlap as its
+    # in-window representative
+    "text_pii_redact": 6,
 }
 
 
@@ -213,6 +225,8 @@ def catalog() -> dict[str, Query]:
         q_mlprep,
         q_packing,
         q_kmeans,
+        q_graph,
+        q_layout,
         q_changelog,
         q_multimodal,
         q_sessions,
