@@ -169,6 +169,20 @@ _ROTATION_R6: dict[str, int] = {
     # curation tier keeps contamination_ngram_overlap as its
     # in-window representative
     "text_pii_redact": 6,
+    # rotate IN — NEW: sessions_peak_concurrency + ivm_join_delta
+    # (tier-5 defaults); multimodal_frame_sample now represents the
+    # Arrow mapInPandas family and events_user_zscore (changed r6)
+    # the ML-prep tier
+    "multimodal_decode_features": 6,
+    "tfidf_top_terms": 6,
+    # rotate IN — NEW: events_rolling_features (tier-5 default); the
+    # iterative-cluster family keeps dedup_cluster_pointer_doubling
+    # (the 100x-scale variant) plus kmeans + pagerank in-window
+    "dedup_cluster_assign": 6,
+    # rotate IN — NEW: orders_retention_cohorts (tier-5 default);
+    # both typosquat analytics now sit under the full-catalog gate
+    # (r5-green, unchanged since r3)
+    "dns_typosquat_blocked": 6,
 }
 
 

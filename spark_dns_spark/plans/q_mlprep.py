@@ -338,3 +338,43 @@ def events_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(d * d * Z_DEN > Z_NUM * (n_ * q_ - s_ * s_))
         .select("event_id", "user_id", "v_milli")
     )
+
+
+@register(
+    "events_rolling_features",
+    """
+SELECT event_id, user_id,
+       (count(*) OVER w)::BIGINT AS n_1h,
+       (sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) OVER w)::BIGINT
+         AS val_milli_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+    doc="per-user rolling 1h window features (event count + exact "
+    "milli-int value sum) via a RANGE-interval frame — the standard "
+    "feature-engineering shape for per-entity activity signals.  One "
+    "shuffle on user_id, frames evaluated in a single sorted pass per "
+    "partition; Spark's frame is expressed in epoch micros so the "
+    "inclusive [-1h, now] bounds match DuckDB's INTERVAL frame "
+    "exactly, and same-timestamp peers are frame-complete in both "
+    "engines (no order dependence)",
+    tags=("mlprep", "window"),
+)
+def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_dns_spark.functions.dnsfn import epoch_micros
+
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(
+            F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
+        ).over(w).alias("val_milli_1h"),
+    )

@@ -775,3 +775,51 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "rev_milli")
     )
+
+
+@register(
+    "orders_retention_cohorts",
+    """
+WITH firsts AS (
+  SELECT o_custkey,
+         min(date_trunc('month', o_orderdate)) AS cohort
+  FROM orders GROUP BY o_custkey
+)
+SELECT cohort,
+       CAST((year(date_trunc('month', o_orderdate)) - year(cohort)) * 12
+            + (month(date_trunc('month', o_orderdate)) - month(cohort))
+            AS BIGINT) AS months_since,
+       count(DISTINCT o.o_custkey) AS active_customers,
+       count(*) AS orders
+FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+GROUP BY 1, 2
+""",
+    doc="retention cohort analysis: customers bucketed by first-order "
+    "month, activity counted per (cohort, months-since) cell — the "
+    "standard product-analytics reshape.  Two aggregation levels: the "
+    "per-customer min is map-side combinable on o_custkey, re-joins "
+    "the fact on the same key (co-located at scale, AQE-broadcast at "
+    "test SF), and the cohort-cell agg's key space is months², so "
+    "only the first shuffle moves data; month arithmetic is integer "
+    "(year*12+month) in both engines",
+    tags=("relational", "agg", "window"),
+)
+def orders_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = (
+        orders.groupBy("o_custkey")
+        .agg(F.min(F.date_trunc("month", "o_orderdate")).alias("cohort"))
+    )
+    j = orders.join(firsts, "o_custkey")
+    om = F.date_trunc("month", F.col("o_orderdate"))
+    months_since = (
+        (F.year(om) - F.year("cohort")) * 12
+        + (F.month(om) - F.month("cohort"))
+    ).cast("long")
+    return (
+        j.groupBy("cohort", months_since.alias("months_since"))
+        .agg(
+            F.countDistinct("o_custkey").alias("active_customers"),
+            F.count("*").alias("orders"),
+        )
+    )

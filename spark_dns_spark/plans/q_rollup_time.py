@@ -137,3 +137,55 @@ def changelog_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged.filter(F.col("action").isin(["AXFR", "IXFR_ADD"]))
+
+
+#: Fact-side CDC cut for the join-IVM property (orders span 1995-2001).
+IVM_CUT = "2000-01-01 00:00:00"
+
+
+@register(
+    "ivm_join_delta",
+    """
+SELECT o_orderkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+       c_custkey, c_name
+FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+    doc="incremental view maintenance for a JOIN view: with orders "
+    f"split into base/delta at {IVM_CUT} and customers split on "
+    "c_custkey % 97, the maintained view is the union of the four "
+    "delta-algebra terms  B_o⋈B_c ∪ Δo⋈B_c ∪ B_o⋈Δc ∪ Δo⋈Δc — the "
+    "three delta terms are |Δ|-proportional, which is what lets a "
+    "100 TB join view absorb a batch without re-joining the base "
+    "(B_o⋈B_c stands in for the stored view here).  The oracle is the "
+    "plain full join, so hash equality proves the delta algebra",
+    tags=("incremental", "join", "cdc"),
+)
+def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_dns_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cut = F.lit(IVM_CUT).cast("timestamp")
+    b_o = orders.filter(F.col("o_orderdate") < cut)
+    d_o = orders.filter(F.col("o_orderdate") >= cut)
+    b_c = customer.filter(F.col("c_custkey") % 97 != 0)
+    d_c = customer.filter(F.col("c_custkey") % 97 == 0)
+
+    def term(o: DataFrame, c: DataFrame) -> DataFrame:
+        return o.join(c, o.o_custkey == c.c_custkey).select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("total_cents"),
+            "c_custkey",
+            "c_name",
+        )
+
+    # stored-view stand-in ∪ the three delta-proportional terms
+    return (
+        term(b_o, b_c)
+        .unionAll(term(d_o, b_c))
+        .unionAll(term(b_o, d_c))
+        .unionAll(term(d_o, d_c))
+    )

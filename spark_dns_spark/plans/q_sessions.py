@@ -229,3 +229,80 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("window.start").alias("w_start"), "event_type", "n", "sum_value"
     )
+
+
+#: Synthetic session length for the sweep-line concurrency analysis.
+SESSION_SECS = 300
+
+
+@register(
+    "sessions_peak_concurrency",
+    f"""
+WITH pts AS (
+  SELECT ts AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT ts + INTERVAL {SESSION_SECS} SECOND, -1 FROM events
+), hrs AS (
+  -- zero-delta sample at each present hour's boundary: an hour whose
+  -- only endpoints are closes still reports the carried-in concurrency
+  SELECT DISTINCT date_trunc('hour', t) AS t, 0 AS d FROM pts
+), net AS (
+  SELECT t, sum(d)::BIGINT AS net
+  FROM (SELECT t, d FROM pts UNION ALL SELECT t, d FROM hrs)
+  GROUP BY t
+), run AS (
+  SELECT t, (sum(net) OVER (ORDER BY t
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS conc
+  FROM net
+)
+SELECT date_trunc('hour', t) AS hr, max(conc)::BIGINT AS peak
+FROM run GROUP BY hr
+""",
+    doc=f"peak concurrent sessions per hour (each event opens a "
+    f"{SESSION_SECS}s session): the classic SWEEP LINE — +1/-1 "
+    "endpoints, running sum, max per bucket.  The oracle's global "
+    "ORDER BY window is the semantic spec; the Spark plan is the "
+    "two-level distributed prefix sum from pack_tokens_stream — "
+    "same-instant endpoints collapse first (groupBy t), within-hour "
+    "cumsum windows run fully parallel, and the only global window "
+    "runs over the hour-totals relation (rows ~ time span, not data "
+    "volume) before broadcasting back",
+    tags=("sessions", "window", "packing"),
+)
+def sessions_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select("ts")
+    pts = ev.select(F.col("ts").alias("t"), F.lit(1).alias("d")).unionAll(
+        ev.select(
+            (F.col("ts") + F.expr(f"INTERVAL {SESSION_SECS} SECONDS")).alias(
+                "t"
+            ),
+            F.lit(-1).alias("d"),
+        )
+    )
+    # zero-delta sample at each present hour's boundary (see oracle)
+    hrs = (
+        pts.select(F.date_trunc("hour", F.col("t")).alias("t"))
+        .distinct()
+        .withColumn("d", F.lit(0))
+    )
+    net = pts.unionAll(hrs).groupBy("t").agg(F.sum("d").alias("net"))
+    b = net.withColumn("hr", F.date_trunc("hour", F.col("t")))
+    w_in = (
+        Window.partitionBy("hr")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = b.withColumn("within", F.sum("net").over(w_in))
+    w_pre = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = (
+        b.groupBy("hr")
+        .agg(F.sum("net").alias("tot"))
+        .withColumn("prefix", F.coalesce(F.sum("tot").over(w_pre), F.lit(0)))
+        .select("hr", "prefix")
+    )
+    return (
+        within.join(F.broadcast(prefix), "hr")
+        .select("hr", (F.col("prefix") + F.col("within")).alias("conc"))
+        .groupBy("hr")
+        .agg(F.max("conc").alias("peak"))
+    )
