@@ -247,6 +247,7 @@ def catalog() -> dict[str, Query]:
         q_dedup,
         q_similarity,
         q_relational,
+        q_timeseries,
     )
 
     order = {n: i for i, n in enumerate(_REGISTRY)}

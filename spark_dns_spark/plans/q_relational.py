@@ -782,7 +782,9 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH firsts AS (
   SELECT o_custkey,
-         min(date_trunc('month', o_orderdate)) AS cohort
+         -- DuckDB demotes month-granularity date_trunc to DATE; Spark's
+         -- stays TIMESTAMP — cast so both engines emit the same type
+         CAST(min(date_trunc('month', o_orderdate)) AS TIMESTAMP) AS cohort
   FROM orders GROUP BY o_custkey
 )
 SELECT cohort,
