@@ -248,6 +248,7 @@ def catalog() -> dict[str, Query]:
         q_similarity,
         q_relational,
         q_timeseries,
+        q_index,
     )
 
     order = {n: i for i, n in enumerate(_REGISTRY)}
