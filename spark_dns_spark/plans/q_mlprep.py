@@ -378,3 +378,71 @@ def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
         ).over(w).alias("val_milli_1h"),
     )
+
+
+@register(
+    "events_mad_outliers",
+    """
+WITH b AS (
+  SELECT user_id, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli
+  FROM events
+), med AS (
+  SELECT user_id, CAST(2 * median(v_milli) AS BIGINT) AS med_x2
+  FROM b GROUP BY user_id
+), dev AS (
+  SELECT b.user_id, abs(2 * b.v_milli - m.med_x2) AS adev2
+  FROM b JOIN med m USING (user_id)
+), mad AS (
+  SELECT user_id, CAST(2 * median(adev2) AS BIGINT) AS mad4
+  FROM dev GROUP BY user_id
+)
+SELECT d.user_id, max(m.med_x2) AS med_x2, max(a.mad4) AS mad4,
+       sum(CASE WHEN 2 * d.adev2 > 3 * a.mad4 THEN 1 ELSE 0 END)::BIGINT
+         AS n_outliers,
+       count(*)::BIGINT AS n
+FROM dev d JOIN med m USING (user_id) JOIN mad a USING (user_id)
+GROUP BY d.user_id
+""",
+    doc="robust outlier detection per user: median + median-absolute-"
+    "deviation, flag |dev| > 3*MAD.  Medians of ints land on exact "
+    "half-integers, so everything is carried doubled (med_x2, mad4 = "
+    "4*MAD/2) and the flag predicate 2*adev2 > 3*mad4 is integer-exact "
+    "— no float quantile/tolerance anywhere.  Every join/agg keys on "
+    "user_id (one hash partitioning end-to-end); exact median IS a "
+    "full-shuffle agg by definition — at 100 TB swap percentile for "
+    "approx_percentile (t-digest, map-side combinable) with the same "
+    "plan shape",
+    tags=("events", "mlprep", "agg", "robust"),
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = load_events(spark, sf_dir).select(
+        "user_id",
+        F.floor(F.col("value") * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("v_milli"),
+    )
+    med = b.groupBy("user_id").agg(
+        (F.percentile("v_milli", F.lit(0.5)) * 2).cast("long").alias("med_x2")
+    )
+    dev = b.join(med, "user_id").select(
+        "user_id",
+        "med_x2",
+        F.abs(2 * F.col("v_milli") - F.col("med_x2")).alias("adev2"),
+    )
+    mad = dev.groupBy("user_id").agg(
+        (F.percentile("adev2", F.lit(0.5)) * 2).cast("long").alias("mad4")
+    )
+    return (
+        dev.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("med_x2").alias("med_x2"),
+            F.max("mad4").alias("mad4"),
+            F.sum(
+                F.when(2 * F.col("adev2") > 3 * F.col("mad4"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
