@@ -183,6 +183,20 @@ _ROTATION_R6: dict[str, int] = {
     # both typosquat analytics now sit under the full-catalog gate
     # (r5-green, unchanged since r3)
     "dns_typosquat_blocked": 6,
+    # rotate IN — NEW continuation-3 tier (events_gap_fill_ffill,
+    # events_ohlc_bars, index_inverted_postings, heavy_hitters_events,
+    # events_mad_outliers; tier-5 defaults).  Five r5-green untouched
+    # shapes leave, family representatives remaining in-window:
+    # changelog_incremental_merge + changelog_max_by_variant +
+    # validate_updates + exactly_once_check (changelog A1-A4),
+    # tpch_q4/q13/q18/q22/q15 (TPC-H joins incl. broadcast star
+    # shapes), sessionize_events + sessions_peak_concurrency +
+    # sessionize_stream_stateful (sessionization).
+    "changelog_latest_wins": 6,
+    "group_by_zone": 6,
+    "tpch_q1_pricing_summary": 6,
+    "revenue_by_nation": 6,
+    "sessionize_window_native": 6,
 }
 
 
