@@ -263,6 +263,7 @@ def catalog() -> dict[str, Query]:
         q_relational,
         q_timeseries,
         q_index,
+        q_validate,
     )
 
     order = {n: i for i, n in enumerate(_REGISTRY)}

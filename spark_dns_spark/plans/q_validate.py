@@ -1,0 +1,172 @@
+"""Dataset-level quality gates — the validation pass a training
+pipeline runs before accepting a new data drop (the Deequ /
+great-expectations pattern, expressed as plain Spark aggregates):
+
+- ``validate_quality_constraints`` — a constraint SUITE evaluated in
+  one conditional-aggregate pass per table plus one anti-join for
+  referential integrity; emits (constraint, n_checked, n_violations)
+  so a scheduler can gate on ``sum(n_violations) == 0``.
+- ``changelog_scd2_intervals`` — slowly-changing-dimension type-2
+  reshape of the change feed: each fqdn's change rows become
+  [valid_from, valid_to) versions via ``lead()`` over one fqdn-keyed
+  window, with a deterministic (ts, event_id) tie-break.  The standard
+  way a mutable-entity history is stored for point-in-time joins.
+
+Scale notes: every per-table constraint folds into ONE scan with
+conditional aggregation (map-side combinable, scalar output); the
+referential check is the only shuffle-bearing step and keys on
+l_orderkey/o_orderkey.  SCD2 is one shuffle on fqdn; version numbering
+is per-entity (row_number inside the same window), never global.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_dns_spark.plans.catalog import register
+from spark_dns_spark.plans.feeds import DNS_CHANGES_CTE, dns_changes
+from spark_dns_spark.session import load_table
+
+
+def _n(cond) -> F.Column:
+    return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+
+@register(
+    "validate_quality_constraints",
+    """
+WITH o AS (
+  SELECT count(*) AS n, count(DISTINCT o_orderkey) AS n_keys,
+         sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS neg_price,
+         sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)
+           AS bad_status,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+         sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                    OR o_orderdate >= TIMESTAMP '1999-01-01'
+                  THEN 1 ELSE 0 END) AS bad_date
+  FROM orders
+), l AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+           AS bad_qty,
+         sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
+           AS bad_disc
+  FROM lineitem
+), orphans AS (
+  SELECT count(*) AS n_orphan FROM lineitem li
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = li.l_orderkey)
+)
+SELECT 'orders.orderkey_unique' AS constraint_name, o.n::BIGINT AS n_checked,
+       (o.n - o.n_keys)::BIGINT AS n_violations FROM o
+UNION ALL SELECT 'orders.totalprice_positive', o.n::BIGINT,
+       o.neg_price::BIGINT FROM o
+UNION ALL SELECT 'orders.status_in_domain', o.n::BIGINT,
+       o.bad_status::BIGINT FROM o
+UNION ALL SELECT 'orders.custkey_complete', o.n::BIGINT,
+       o.null_cust::BIGINT FROM o
+UNION ALL SELECT 'orders.orderdate_in_range', o.n::BIGINT,
+       o.bad_date::BIGINT FROM o
+UNION ALL SELECT 'lineitem.quantity_in_range', l.n::BIGINT,
+       l.bad_qty::BIGINT FROM l
+UNION ALL SELECT 'lineitem.discount_in_range', l.n::BIGINT,
+       l.bad_disc::BIGINT FROM l
+UNION ALL SELECT 'lineitem.orderkey_references_orders', l.n::BIGINT,
+       orphans.n_orphan::BIGINT FROM l, orphans
+""",
+    doc="constraint-suite validation (the Deequ pattern): uniqueness, "
+    "range, domain, completeness checks fold into ONE conditional-"
+    "aggregate scan per table (map-side combinable, scalar outputs); "
+    "referential integrity is the single shuffle-bearing step (left-"
+    "anti on l_orderkey).  Output is (constraint, n_checked, "
+    "n_violations) rows a scheduler gates on",
+    tags=("validate", "agg", "quality"),
+)
+def validate_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    o = orders.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        _n(F.col("o_totalprice") <= 0).alias("neg_price"),
+        _n(~F.col("o_orderstatus").isin("O", "F", "P")).alias("bad_status"),
+        _n(F.col("o_custkey").isNull()).alias("null_cust"),
+        _n(
+            (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+            | (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        ).alias("bad_date"),
+    )
+    li = lineitem.agg(
+        F.count("*").alias("n"),
+        _n(
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+        ).alias("bad_qty"),
+        _n(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+        ).alias("bad_disc"),
+    )
+    orphans = (
+        lineitem.join(
+            orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        ).agg(F.count("*").alias("n_orphan"))
+    )
+
+    def row(name: str, src: DataFrame, n_col: str, v_col) -> DataFrame:
+        return src.select(
+            F.lit(name).alias("constraint_name"),
+            F.col(n_col).cast("long").alias("n_checked"),
+            v_col.cast("long").alias("n_violations"),
+        )
+
+    return (
+        row("orders.orderkey_unique", o, "n", F.col("n") - F.col("n_keys"))
+        .unionAll(row("orders.totalprice_positive", o, "n", F.col("neg_price")))
+        .unionAll(row("orders.status_in_domain", o, "n", F.col("bad_status")))
+        .unionAll(row("orders.custkey_complete", o, "n", F.col("null_cust")))
+        .unionAll(row("orders.orderdate_in_range", o, "n", F.col("bad_date")))
+        .unionAll(row("lineitem.quantity_in_range", li, "n", F.col("bad_qty")))
+        .unionAll(row("lineitem.discount_in_range", li, "n", F.col("bad_disc")))
+        .unionAll(
+            row(
+                "lineitem.orderkey_references_orders",
+                li.crossJoin(orphans),
+                "n",
+                F.col("n_orphan"),
+            )
+        )
+    )
+
+
+@register(
+    "changelog_scd2_intervals",
+    DNS_CHANGES_CTE
+    + """
+SELECT fqdn, ip, action, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       ROW_NUMBER() OVER w AS version_no,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM dns_changes
+WINDOW w AS (PARTITION BY fqdn ORDER BY ts, event_id)
+""",
+    doc="SCD type-2 reshape of the change feed: per-fqdn [valid_from, "
+    "valid_to) version intervals via lead() + row_number over ONE "
+    "fqdn-keyed window (deterministic (ts, event_id) tie-break) — the "
+    "point-in-time-join layout for mutable entity history; one shuffle, "
+    "version numbering is per-entity, never global",
+    tags=("changelog", "window", "scd2"),
+)
+def changelog_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = dns_changes(spark, sf_dir)
+    w = Window.partitionBy("fqdn").orderBy("ts", "event_id")
+    return ch.select(
+        "fqdn",
+        "ip",
+        "action",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version_no"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

@@ -32,6 +32,9 @@ BNLJ_WHITELIST = {
     # 1-row stream total cross-joined onto the candidate-count dim for
     # the freq > n/T filter — same single-row-broadcast class
     "heavy_hitters_events",
+    # two 1-row conditional-aggregate relations joined to emit the
+    # referential-integrity constraint row — same class
+    "validate_quality_constraints",
 }
 
 #: Queries that run their own streaming jobs — planned separately.
