@@ -61,6 +61,15 @@ HEADLINE = [
     "pack_greedy_bins",
     "kmeans_lloyd_cells",
     "graph_pagerank_transitions",
+    # round-6 continuation-3 tier (31 → 38; BASELINE.md: cross-round
+    # totals compare the 27- and 31-query prefixes)
+    "events_gap_fill_ffill",
+    "events_ohlc_bars",
+    "index_inverted_postings",
+    "heavy_hitters_events",
+    "events_mad_outliers",
+    "validate_quality_constraints",
+    "changelog_scd2_intervals",
 ]
 
 
