@@ -322,3 +322,135 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 8)
     )
+
+
+#: Sorted-neighborhood parameters: comparison window and the integer
+#: Jaccard report threshold (per-mille; filter is cross-multiplied so
+#: no float division anywhere).
+SNM_W = 4
+SNM_T_PM = 200
+#: Max sort-key buckets per language for the distributed ranking.
+SNM_NB = 64
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    f"""
+WITH toks AS (
+  SELECT doc_id, lang, n_chars,
+         list_distinct(string_split(text, ' ')) AS tok
+  FROM documents
+), ranked AS (
+  SELECT doc_id, tok,
+         ROW_NUMBER() OVER (ORDER BY lang, n_chars, doc_id) AS rnk
+  FROM toks
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(b.rnk - a.rnk AS BIGINT) AS rank_gap,
+         len(list_intersect(a.tok, b.tok)) AS ni,
+         len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)) AS nu
+  FROM ranked a JOIN ranked b ON b.rnk - a.rnk BETWEEN 1 AND {SNM_W}
+)
+SELECT doc_a, doc_b, rank_gap,
+       CAST((1000 * ni) // nu AS BIGINT) AS jaccard_x1000
+FROM pairs WHERE 1000 * ni >= {SNM_T_PM} * nu
+""",
+    doc="sorted-neighborhood dedup (the blocking method that needs NO "
+    "hashing): docs globally ranked by (lang, n_chars, doc_id) via the "
+    "two-level distributed prefix count (within-bucket row_number + a "
+    "broadcast bucket-offset table — the oracle's single-partition "
+    "ROW_NUMBER window is the semantic spec, not the plan), candidate "
+    "pairs = rank distance <= 4 via the 2-bucket-explode equi-join "
+    "idiom shared with range_join_bucketed, then exact token-set "
+    "Jaccard (integer cross-multiplied filter).  Rank is computed on "
+    "SKINNY columns only; token arrays join back by doc_id afterwards "
+    "so text never rides the ranking shuffles",
+    tags=("dedup", "similarity", "window"),
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    skinny = docs.select("doc_id", "lang", "n_chars")
+
+    # bucket span from a footer-cheap min/max agg (q_packing's move);
+    # buckets are ordered ranges of the sort key, so cross-bucket
+    # concatenation preserves the total (lang, n_chars, doc_id) order
+    lo, hi = skinny.agg(F.min("n_chars"), F.max("n_chars")).first()
+    span = ((int(hi) - int(lo)) // SNM_NB + 1) if hi is not None else 1
+    b = skinny.withColumn(
+        "bin", F.expr(f"(n_chars - {int(lo or 0)}) div {span}")
+    )
+
+    w_in = Window.partitionBy("lang", "bin").orderBy("n_chars", "doc_id")
+    within = b.withColumn("within", F.row_number().over(w_in))
+
+    # the only global window runs over the <= 5*NB-row bucket totals,
+    # then broadcasts back (two-level prefix count)
+    w_pre = Window.orderBy("lang", "bin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = (
+        b.groupBy("lang", "bin")
+        .agg(F.count("*").alias("tot"))
+        .withColumn("prefix", F.coalesce(F.sum("tot").over(w_pre), F.lit(0)))
+        .select("lang", "bin", "prefix")
+    )
+    ranked = (
+        within.join(F.broadcast(prefix), ["lang", "bin"])
+        .select("doc_id", (F.col("prefix") + F.col("within")).alias("rnk"))
+    )
+
+    # candidate pairs: rank distance in [1, W] via 2-bucket explode —
+    # blocks of width W; a pair within W spans adjacent blocks only
+    left = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("rnk").alias("rnk_a"),
+        F.explode(
+            F.array(
+                F.expr(f"rnk div {SNM_W}"), F.expr(f"rnk div {SNM_W} + 1")
+            )
+        ).alias("jblock"),
+    )
+    right = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("rnk").alias("rnk_b"),
+        F.expr(f"rnk div {SNM_W}").alias("jblock"),
+    )
+    cand = (
+        left.join(right, "jblock")
+        .filter(
+            (F.col("rnk_b") - F.col("rnk_a") >= 1)
+            & (F.col("rnk_b") - F.col("rnk_a") <= SNM_W)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("rnk_b") - F.col("rnk_a")).cast("long").alias("rank_gap"),
+        )
+    )
+
+    tok = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tok")
+    )
+    ta = tok.select(
+        F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a")
+    )
+    tb = tok.select(
+        F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b")
+    )
+    ni = F.size(F.array_intersect("tok_a", "tok_b"))
+    nu = F.size("tok_a") + F.size("tok_b") - ni
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("ni", ni)
+        .withColumn("nu", nu)
+        .filter(F.lit(1000) * F.col("ni") >= SNM_T_PM * F.col("nu"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "rank_gap",
+            F.expr("(1000 * ni) div nu").cast("long").alias("jaccard_x1000"),
+        )
+    )
