@@ -264,6 +264,7 @@ def catalog() -> dict[str, Query]:
         q_timeseries,
         q_index,
         q_validate,
+        q_streaming,
     )
 
     order = {n: i for i, n in enumerate(_REGISTRY)}

@@ -1,0 +1,92 @@
+"""Streaming catalog queries beyond the DNS connector — exactly-once
+patterns every ingestion pipeline needs, run to completion under
+``availableNow`` so results are deterministic and oracle-checkable:
+
+- ``stream_dedup_replay`` — the kafka-redelivery / backfill-overlap
+  case: the SAME events file is delivered twice in two micro-batches
+  (``maxFilesPerTrigger=1`` + distinct mtimes) and
+  ``dropDuplicates(event_id)`` must emit each row exactly once, with
+  the dedup state crossing the micro-batch boundary in the state
+  store.  The oracle aggregates the batch table directly — a replayed
+  stream that dedups correctly is indistinguishable from a
+  single-delivery batch, which is precisely the exactly-once contract.
+
+Scale note: the unbounded 10-year watermark retains all dedup state to
+make replay-at-any-distance exact; a real 100 TB feed bounds state with
+``dropDuplicatesWithinWatermark`` at the feed's true lateness bound —
+the plan is otherwise identical (hash state store keyed on event_id).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_dns_spark.plans.catalog import register
+from spark_dns_spark.plans.feeds import normalize_ts
+
+
+@register(
+    "stream_dedup_replay",
+    """
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       sum(CAST(floor(value * 1000 + 0.5) AS BIGINT))::BIGINT AS sum_v_milli
+FROM events GROUP BY event_type
+""",
+    doc="streaming exactly-once dedup under replay: the events file "
+    "delivered twice in two micro-batches, dropDuplicates(event_id) "
+    "state spanning the batch boundary; per-type aggregate of the "
+    "deduped stream must equal the single-delivery batch aggregate "
+    "(the oracle).  dropDuplicatesWithinWatermark bounds the state at "
+    "real scale with the same plan",
+    tags=("streaming", "dedup", "exactly-once"),
+)
+def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = tempfile.mkdtemp(prefix="stream_dedup_replay_")
+    src_dir = os.path.join(root, "src")
+    os.makedirs(src_dir)
+    # two COPIES (not symlinks — their mtimes must differ without
+    # touching the read-only testdata) so the replay arrives in a
+    # later micro-batch under maxFilesPerTrigger=1
+    events_file = os.path.join(sf_dir, "events.parquet")
+    first = os.path.join(src_dir, "00_first.parquet")
+    replay = os.path.join(src_dir, "01_replay.parquet")
+    shutil.copy(events_file, first)
+    shutil.copy(events_file, replay)
+    base = os.stat(first).st_mtime
+    os.utime(first, (base - 10, base - 10))
+    os.utime(replay, (base, base))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    physical = spark.read.parquet(src_dir).schema
+    src = normalize_ts(
+        spark.readStream.schema(physical)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out = os.path.join(root, "out")
+    q = (
+        src.withWatermark("ts", "3650 days")  # keep all dedup state live
+        .dropDuplicates(["event_id"])
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(root, ".ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    return got.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(
+            F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
+        ).alias("sum_v_milli"),
+    )

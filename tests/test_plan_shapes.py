@@ -38,7 +38,11 @@ BNLJ_WHITELIST = {
 }
 
 #: Queries that run their own streaming jobs — planned separately.
-SKIP = {"dns_stream_sink_roundtrip", "sessionize_stream_stateful"}
+SKIP = {
+    "dns_stream_sink_roundtrip",
+    "sessionize_stream_stateful",
+    "stream_dedup_replay",
+}
 
 
 def _plan(df) -> str:
