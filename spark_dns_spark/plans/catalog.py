@@ -197,6 +197,20 @@ _ROTATION_R6: dict[str, int] = {
     "tpch_q1_pricing_summary": 6,
     "revenue_by_nation": 6,
     "sessionize_window_native": 6,
+    # rotate IN — NEW continuation-4 tier (dedup_sorted_neighborhood,
+    # validate_quality_constraints, changelog_scd2_intervals,
+    # stream_dedup_replay; tier-5 defaults).  Four r5-green untouched
+    # shapes leave: exactly_once_check (changelog invariants remain
+    # via validate_updates + changelog_max_by_variant),
+    # similarity_lsh_recall (ivf_recall is the in-window recall-gate
+    # twin), contamination_ngram_overlap (pipeline_curate_corpus
+    # carries the curation family), orders_pivot_status (the whole
+    # pivot/cube/grouping-sets family now sits under the full-catalog
+    # gate — all green since r2).
+    "exactly_once_check": 6,
+    "similarity_lsh_recall": 6,
+    "contamination_ngram_overlap": 6,
+    "orders_pivot_status": 6,
 }
 
 
