@@ -279,6 +279,7 @@ def catalog() -> dict[str, Query]:
         q_index,
         q_validate,
         q_streaming,
+        q_bpe,
     )
 
     order = {n: i for i, n in enumerate(_REGISTRY)}

@@ -1,0 +1,163 @@
+"""BPE tokenizer training — the merge-rule learning loop every LLM
+pipeline runs before anything else, expressed the way MLlib runs
+iterative algorithms (kmeans/pagerank convention in this repo):
+
+- per-iteration state that must be globally agreed (the winning merge
+  pair) is a ONE-ROW driver scalar, inlined as a literal into the next
+  iteration's expressions;
+- everything sized by the corpus stays distributed: the word-frequency
+  relation, the symbol sequences, and the weighted pair counts
+  (map-side-combinable ``groupBy(pair).sum(freq)``).
+
+Sequences are space-delimited symbol strings (`` a b c ``), so a merge
+is a literal ``replace(' a b ', ' ab ')`` — leftmost non-overlapping,
+exactly BPE's left-to-right merge order, identical in Spark and
+DuckDB.  Pair statistics count every adjacent position (the standard
+BPE counting).  The winner is argmax by weighted count with a
+lexicographic tie-break, so the whole run is deterministic and the
+oracle — a finite chained-CTE unroll of the same three iterations —
+matches on hash EQUALITY with no tolerance.
+
+Scale: training corpora dedupe into word-type + frequency form first
+(here the vocab relation), so iteration cost is O(vocab), not
+O(corpus); the only driver traffic is K one-row argmax collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_dns_spark.plans.catalog import register
+from spark_dns_spark.session import load_table
+
+#: Number of merge rules to learn.
+N_MERGES = 3
+
+
+def _pairs_sql(seq: str) -> str:
+    """DuckDB: adjacent symbol pairs of a space-delimited sequence."""
+    arr = f"string_split(trim({seq}), ' ')"
+    return (
+        f"list_transform(range(1, len({arr})), "
+        f"i -> {arr}[i] || '|' || {arr}[i+1])"
+    )
+
+
+def _iter_sql(k: int) -> str:
+    """One oracle iteration: weighted pair counts over s{k-1}, the
+    argmax winner m{k}, and the merged sequences s{k}."""
+    prev = f"s{k - 1}"
+    return f"""
+p{k} AS (
+  SELECT pr, sum(f) AS c
+  FROM (SELECT f, unnest({_pairs_sql("seq")}) AS pr FROM {prev})
+  GROUP BY pr
+), m{k} AS (
+  SELECT pr, c FROM p{k} ORDER BY c DESC, pr LIMIT 1
+), s{k} AS (
+  SELECT word, f,
+         replace(seq,
+                 ' ' || replace((SELECT pr FROM m{k}), '|', ' ') || ' ',
+                 ' ' || replace((SELECT pr FROM m{k}), '|', '') || ' ')
+           AS seq
+  FROM {prev}
+)"""
+
+
+_BPE_SQL = (
+    """
+WITH freq AS (
+  SELECT t AS word, count(*) AS f
+  FROM documents, LATERAL unnest(string_split(text, ' ')) s(t)
+  WHERE regexp_full_match(t, '[a-z]+')
+  GROUP BY t
+), s0 AS (
+  SELECT word, f, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
+  FROM freq
+), """
+    + ", ".join(_iter_sql(k) for k in range(1, N_MERGES + 1))
+    + "\n"
+    + "\nUNION ALL ".join(
+        f"""
+SELECT {k}::BIGINT AS merge_no,
+       string_split(pr, '|')[1] AS left_sym,
+       string_split(pr, '|')[2] AS right_sym,
+       replace(pr, '|', '') AS merged,
+       c::BIGINT AS pair_count
+FROM m{k}"""
+        for k in range(1, N_MERGES + 1)
+    )
+)
+
+
+@register(
+    "vocab_bpe_merges",
+    _BPE_SQL,
+    doc="BPE tokenizer training (3 merge rules) the iterative-algorithm "
+    "way: corpus deduped to a word-type+frequency relation, symbol "
+    "sequences as space-delimited strings, each iteration = one "
+    "map-side-combinable weighted pair count + a ONE-ROW driver argmax "
+    "(lexicographic tie-break) inlined literally into the next "
+    "iteration's replace().  Leftmost non-overlapping string replace = "
+    "BPE's left-to-right merge order, identical in both engines; the "
+    "oracle is a finite chained-CTE unroll matching on hash equality",
+    tags=("text", "mlprep", "iterative", "bpe"),
+)
+def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count("*").alias("f"))
+    )
+    seqs = freq.select(
+        "word",
+        "f",
+        F.expr("' ' || regexp_replace(word, '(.)', '$1 ')").alias("seq"),
+    # vocab-sized state reused by every iteration's count AND the next
+    # merge — persist once, released by the catalog's cache safety net
+    ).persist()
+
+    pairs_expr = (
+        "CASE WHEN size(split(trim(seq), ' ')) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(split(trim(seq), ' ')) - 1), "
+        "i -> concat(element_at(split(trim(seq), ' '), i), '|', "
+        "element_at(split(trim(seq), ' '), i + 1))) END"
+    )
+
+    merges = []
+    for k in range(1, N_MERGES + 1):
+        counts = (
+            seqs.select("f", F.explode(F.expr(pairs_expr)).alias("pr"))
+            .groupBy("pr")
+            .agg(F.sum("f").alias("c"))
+        )
+        win = counts.orderBy(F.desc("c"), F.asc("pr")).first()
+        pr, c = win["pr"], int(win["c"])
+        left_sym, right_sym = pr.split("|")
+        merged = left_sym + right_sym
+        merges.append((k, left_sym, right_sym, merged, c))
+        old = seqs
+        # inline the winner as literals (kmeans convention): the merge
+        # is a map-only literal replace, no join, no extra shuffle
+        seqs = old.select(
+            "word",
+            "f",
+            F.expr(
+                "replace(seq, ' "
+                + left_sym
+                + " "
+                + right_sym
+                + " ', ' "
+                + merged
+                + " ')"
+            ).alias("seq"),
+        ).persist()
+
+    return spark.createDataFrame(
+        merges,
+        "merge_no long, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    )
