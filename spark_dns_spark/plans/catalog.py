@@ -211,6 +211,10 @@ _ROTATION_R6: dict[str, int] = {
     "similarity_lsh_recall": 6,
     "contamination_ngram_overlap": 6,
     "orders_pivot_status": 6,
+    # rotate IN — NEW: vocab_bpe_merges (tier-5 default); the
+    # incremental-maintenance family keeps ivm_join_delta (new r6) as
+    # its in-window representative
+    "changelog_incremental_merge": 6,
 }
 
 
