@@ -284,6 +284,7 @@ def catalog() -> dict[str, Query]:
         q_validate,
         q_streaming,
         q_bpe,
+        q_cooccur,
     )
 
     order = {n: i for i, n in enumerate(_REGISTRY)}
