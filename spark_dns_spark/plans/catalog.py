@@ -215,6 +215,14 @@ _ROTATION_R6: dict[str, int] = {
     # incremental-maintenance family keeps ivm_join_delta (new r6) as
     # its in-window representative
     "changelog_incremental_merge": 6,
+    # rotate IN — NEW: cooccurrence_glove_window +
+    # events_funnel_conversion (tier-5 defaults).  Out: hypertable_rollup
+    # (window/rollup family represented by events_rolling_features,
+    # events_ohlc_bars, events_gap_fill_ffill) and dedup_embedding_cosine
+    # (embedding-similarity family keeps topk_bruteforce/lsh/ivf +
+    # similarity_ivf_recall in-window); both r4/r5-green, untouched r6.
+    "hypertable_rollup": 6,
+    "dedup_embedding_cosine": 6,
 }
 
 
