@@ -293,6 +293,7 @@ def catalog() -> dict[str, Query]:
         q_streaming,
         q_bpe,
         q_cooccur,
+        q_basket,
     )
 
     order = {n: i for i, n in enumerate(_REGISTRY)}

@@ -170,3 +170,43 @@ def changelog_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("long").alias("version_no"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+#: Histogram bin width in milli-units (50 value units per bin).
+HIST_BIN_MILLI = 50_000
+
+
+@register(
+    "events_value_histogram",
+    f"""
+SELECT event_type,
+       CAST(CAST(floor(value * 1000 + 0.5) AS BIGINT) // {HIST_BIN_MILLI}
+            AS BIGINT) AS bin,
+       count(*)::BIGINT AS n,
+       min(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS min_milli,
+       max(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS max_milli
+FROM events GROUP BY 1, 2
+""",
+    doc="equi-width value histogram per event type — the profiling "
+    "pass a validation report draws distributions from: one map-side-"
+    "combinable aggregate, integer milli-unit bin edges, key space = "
+    "types x bins (bounded), single exchange",
+    tags=("validate", "agg", "profile"),
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_dns_spark.plans.feeds import load_events
+
+    ev = load_events(spark, sf_dir).select("event_type", "value")
+    v = F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
+    return (
+        ev.withColumn("v_milli", v)
+        .groupBy(
+            "event_type",
+            F.expr(f"v_milli div {HIST_BIN_MILLI}").alias("bin"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("v_milli").alias("min_milli"),
+            F.max("v_milli").alias("max_milli"),
+        )
+    )

@@ -35,6 +35,9 @@ BNLJ_WHITELIST = {
     # two 1-row conditional-aggregate relations joined to emit the
     # referential-integrity constraint row — same class
     "validate_quality_constraints",
+    # 1-row order total cross-joined onto the pair-support dim for the
+    # integer lift — same single-row-broadcast class
+    "basket_copurchase_lift",
 }
 
 #: Queries that run their own streaming jobs — planned separately.
