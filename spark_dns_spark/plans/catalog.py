@@ -223,6 +223,13 @@ _ROTATION_R6: dict[str, int] = {
     # similarity_ivf_recall in-window); both r4/r5-green, untouched r6.
     "hypertable_rollup": 6,
     "dedup_embedding_cosine": 6,
+    # rotate IN — NEW: basket_copurchase_lift + events_value_histogram
+    # (tier-5 defaults).  Out: dedup_minhash_lsh (minhash family keeps
+    # dedup_minhash_signatures in-window) and similarity_topk_ivf
+    # (similarity_ivf_recall composes the SAME _ivf_topk plan and stays
+    # in-window); both r5-green, untouched r6.
+    "dedup_minhash_lsh": 6,
+    "similarity_topk_ivf": 6,
 }
 
 
