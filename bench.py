@@ -70,6 +70,13 @@ HEADLINE = [
     "events_mad_outliers",
     "validate_quality_constraints",
     "changelog_scd2_intervals",
+    # round-6 continuation-5 tier (38 → 44)
+    "dedup_sorted_neighborhood",
+    "vocab_bpe_merges",
+    "cooccurrence_glove_window",
+    "events_funnel_conversion",
+    "basket_copurchase_lift",
+    "events_value_histogram",
 ]
 
 
