@@ -26,6 +26,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_dns_spark.functions.dnsfn import epoch_micros
 from spark_dns_spark.plans.catalog import register
 from spark_dns_spark.plans.feeds import normalize_ts
 
@@ -89,4 +90,102 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
         ).alias("sum_v_milli"),
+    )
+
+
+#: Attribution window: click within 30 min after the view.
+ATTR_WINDOW_US = 1_800_000_000
+
+
+@register(
+    "stream_attribution_join",
+    f"""
+WITH v AS (
+  SELECT user_id, event_id AS view_id, ts AS view_ts
+  FROM events WHERE event_type = 'view'
+), c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT v.user_id,
+       count(*)::BIGINT AS n_pairs,
+       sum((epoch_us(c.click_ts) - epoch_us(v.view_ts)) // 1000)::BIGINT
+         AS sum_gap_ms
+FROM v JOIN c
+  ON v.user_id = c.user_id
+ AND epoch_us(c.click_ts) > epoch_us(v.view_ts)
+ AND epoch_us(c.click_ts) <= epoch_us(v.view_ts) + {ATTR_WINDOW_US}
+GROUP BY v.user_id
+""",
+    doc="stream-stream interval join (the canonical attribution "
+    "pattern): views x clicks per user with the click inside 30 min "
+    "after the view, BOTH sides watermarked so join state is bounded "
+    "by event-time; inner-join matches emit eagerly under availableNow "
+    "so the result equals the batch range join, which IS the oracle. "
+    "Output aggregated per user (pairs + integer gap-ms sum)",
+    tags=("streaming", "join", "attribution"),
+)
+def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import DataFrame as _DF
+
+    root = tempfile.mkdtemp(prefix="stream_attr_")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = normalize_ts(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
+
+    def stage(name: str, df: _DF) -> str:
+        d = os.path.join(root, name)
+        df.coalesce(1).write.parquet(d)
+        return d
+
+    v_dir = stage(
+        "views",
+        batch.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        ),
+    )
+    c_dir = stage(
+        "clicks",
+        batch.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        ),
+    )
+
+    views = (
+        spark.readStream.schema(spark.read.parquet(v_dir).schema)
+        .parquet(v_dir)
+        .withWatermark("view_ts", "1 hour")
+    )
+    clicks = (
+        spark.readStream.schema(spark.read.parquet(c_dir).schema)
+        .parquet(c_dir)
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "user_id = c_user_id "
+            "AND click_ts > view_ts "
+            "AND click_ts <= view_ts + INTERVAL 30 MINUTES"
+        ),
+    )
+    out = os.path.join(root, "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(root, ".ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    gap_ms = (
+        (epoch_micros("click_ts") - epoch_micros("view_ts")) / F.lit(1000)
+    ).cast("long")
+    return got.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(gap_ms).alias("sum_gap_ms"),
     )

@@ -45,6 +45,7 @@ SKIP = {
     "dns_stream_sink_roundtrip",
     "sessionize_stream_stateful",
     "stream_dedup_replay",
+    "stream_attribution_join",
 }
 
 
