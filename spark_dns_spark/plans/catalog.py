@@ -230,6 +230,11 @@ _ROTATION_R6: dict[str, int] = {
     # in-window); both r5-green, untouched r6.
     "dedup_minhash_lsh": 6,
     "similarity_topk_ivf": 6,
+    # rotate IN — NEW: stream_attribution_join (tier-5 default); out:
+    # zone_from_fqdn (micro map-only F5 scalar query, green since r4 —
+    # the connector queries in-window exercise the same function paths,
+    # and the full-catalog gate still covers it every round).
+    "zone_from_fqdn": 6,
 }
 
 
