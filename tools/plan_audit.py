@@ -14,7 +14,12 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 #: Queries that run real streaming jobs when built — skip planning them.
-SKIP = {"dns_stream_sink_roundtrip", "sessionize_stream_stateful"}
+SKIP = {
+    "dns_stream_sink_roundtrip",
+    "sessionize_stream_stateful",
+    "stream_dedup_replay",
+    "stream_attribution_join",
+}
 
 #: Documented deliberate small-broadcast nested loops.
 BNLJ_OK = {
@@ -30,6 +35,13 @@ BNLJ_OK = {
     # 1-row corpus count (N for idf) cross-joined onto the vocab-sized
     # doc-frequency dim — same single-row-broadcast class
     "tfidf_top_terms",
+    # 1-row stream total cross-joined onto the candidate-count dim
+    "heavy_hitters_events",
+    # two 1-row conditional-aggregate relations joined for the
+    # referential-integrity constraint row
+    "validate_quality_constraints",
+    # 1-row order total cross-joined onto the pair-support dim
+    "basket_copurchase_lift",
 }
 
 
