@@ -189,3 +189,51 @@ def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(term(b_o, d_c))
         .unionAll(term(d_o, d_c))
     )
+
+
+@register(
+    "ivm_agg_delta",
+    """
+SELECT o_custkey,
+       count(*)::BIGINT AS n_orders,
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+         AS total_cents
+FROM orders GROUP BY o_custkey
+""",
+    doc="incremental view maintenance for an AGGREGATE view (the twin "
+    f"of ivm_join_delta): orders split base/delta at {IVM_CUT}; the "
+    "maintained per-customer (count, sum) view is the PARTIAL-"
+    "AGGREGATE MERGE of the stored base partials with the delta "
+    "batch's partials — count-of-counts / sum-of-sums, the same "
+    "re-aggregation lossless-ness hypertable_rollup proves across "
+    "time levels, here proving a 100 TB agg view absorbs a batch "
+    "touching only |delta| partials.  The oracle is the plain full "
+    "aggregate, so hash equality proves the merge algebra",
+    tags=("incremental", "agg", "cdc"),
+)
+def ivm_agg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_dns_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit(IVM_CUT).cast("timestamp")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+
+    def partials(o: DataFrame) -> DataFrame:
+        return o.groupBy("o_custkey").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents).alias("total_cents"),
+        )
+
+    # stored-view stand-in (base partials) merged with delta partials:
+    # the merge is itself one map-side-combinable aggregate over a
+    # relation sized by |affected keys|, never the base fact
+    base = partials(orders.filter(F.col("o_orderdate") < cut))
+    delta = partials(orders.filter(F.col("o_orderdate") >= cut))
+    return (
+        base.unionAll(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_cents").alias("total_cents"),
+        )
+    )

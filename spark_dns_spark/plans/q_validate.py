@@ -210,3 +210,66 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("v_milli").alias("max_milli"),
         )
     )
+
+
+@register(
+    "events_equidepth_quartiles",
+    """
+WITH b AS (
+  SELECT event_type, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+  FROM events
+), q AS (
+  SELECT event_type,
+         CAST(4 * quantile_cont(v, 0.25) AS BIGINT) AS q1_x4,
+         CAST(4 * quantile_cont(v, 0.50) AS BIGINT) AS q2_x4,
+         CAST(4 * quantile_cont(v, 0.75) AS BIGINT) AS q3_x4
+  FROM b GROUP BY event_type
+)
+SELECT b.event_type,
+       (CASE WHEN 4 * b.v >= q.q1_x4 THEN 1 ELSE 0 END
+        + CASE WHEN 4 * b.v >= q.q2_x4 THEN 1 ELSE 0 END
+        + CASE WHEN 4 * b.v >= q.q3_x4 THEN 1 ELSE 0 END)::BIGINT AS qbin,
+       count(*)::BIGINT AS n,
+       min(b.v) AS min_milli,
+       max(b.v) AS max_milli
+FROM b JOIN q USING (event_type)
+GROUP BY 1, 2
+""",
+    doc="equi-depth (quartile) histogram per event type — the profiling "
+    "complement of the equi-width one: exact interpolated quartiles of "
+    "milli-int values land on exact quarter-integers, carried x4 as "
+    "longs so bucket assignment is pure integer comparison; the "
+    "5-row quartile dim broadcasts back onto the fact.  At 100 TB "
+    "approx_percentile swaps in with the same plan shape",
+    tags=("validate", "agg", "profile"),
+)
+def events_equidepth_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_dns_spark.plans.feeds import load_events
+
+    b = load_events(spark, sf_dir).select(
+        "event_type",
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    q = b.groupBy("event_type").agg(
+        *[
+            (F.percentile("v", F.lit(p)) * 4)
+            .cast("long")
+            .alias(f"q{i}_x4")
+            for i, p in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+    v4 = 4 * F.col("v")
+    qbin = (
+        (v4 >= F.col("q1_x4")).cast("int")
+        + (v4 >= F.col("q2_x4")).cast("int")
+        + (v4 >= F.col("q3_x4")).cast("int")
+    ).cast("long")
+    return (
+        b.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", qbin.alias("qbin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("v").alias("min_milli"),
+            F.max("v").alias("max_milli"),
+        )
+    )
