@@ -235,6 +235,15 @@ _ROTATION_R6: dict[str, int] = {
     # the connector queries in-window exercise the same function paths,
     # and the full-catalog gate still covers it every round).
     "zone_from_fqdn": 6,
+    # rotate IN — NEW: ivm_agg_delta + events_equidepth_quartiles
+    # (tier-5 defaults).  Out: validate_updates (P4 — the richer
+    # validate_quality_constraints suite now represents validation
+    # in-window; P4 stays pytest-pinned + under the full gate) and
+    # similarity_topk_bruteforce (correctness-green since r1; the
+    # bench measures it regardless of tier, so the perf watch from
+    # VERDICT r5 item 7 is unaffected).
+    "validate_updates": 6,
+    "similarity_topk_bruteforce": 6,
 }
 
 
