@@ -7,9 +7,9 @@ ROUND ?= rX
 SF_SMALL ?= /root/testdata/sf0.001
 SF_ORACLE ?= /root/testdata/sf0.01
 
-.PHONY: test oracle-full bench canary all
+.PHONY: test oracle-full bench canary plan-audit all
 
-all: canary test oracle-full bench
+all: canary test oracle-full plan-audit bench
 
 # seconds-fast environment-drift canary: run FIRST every round
 canary:
@@ -18,10 +18,14 @@ canary:
 test:
 	python -m pytest tests/ -q
 
-# full-catalog cross-engine gate (all 82 queries, ~5 min at sf0.01);
+# full-catalog cross-engine gate (every catalog query, ~6-8 min at sf0.01);
 # commit the artifact: make oracle-full ROUND=r6
 oracle-full:
 	python tools/check_oracle.py --json ORACLE_FULL_$(ROUND).json $(SF_ORACLE)
+
+# physical-plan audit (BNLJ/cartesian flags, pushdown, exchange counts)
+plan-audit:
+	python tools/plan_audit.py
 
 bench:
 	python bench.py
