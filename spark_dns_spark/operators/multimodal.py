@@ -153,3 +153,70 @@ def frame_sample(
             )
 
     return df.mapInPandas(_sample_batches, schema=FRAME_SCHEMA)
+
+
+#: Resize geometry: payloads are treated as H×RESIZE_W byte rasters and
+#: downsampled 2× per axis by nearest neighbor.
+RESIZE_W = 32
+
+#: Output schema of the nearest-neighbor resizer.
+RESIZE_SCHEMA = (
+    "doc_id long, in_h long, out_h long, out_w long, "
+    "sum_out_bytes long, out_md5 string"
+)
+
+
+def resize_nn(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    width: int = RESIZE_W,
+) -> DataFrame:
+    """2× nearest-neighbor downsample of image-like payloads (builder
+    brief: "resize") via ``mapInPandas``.
+
+    The payload is interpreted as an ``H×width`` byte raster
+    (``H = len(payload) // width``); the output keeps every 2nd row and
+    every 2nd column — ``out[i][j] = in[2i·width + 2j]`` — which is
+    exactly what a real PIL/opencv nearest-neighbor resize computes per
+    channel, so a real decoder swaps into the same batch body.  The
+    deterministic byte arithmetic gives the plumbing an exact
+    octet-level SQL oracle (hex-slicing + ordered string_agg on the
+    DuckDB side); emitted per doc: output dims, integer byte checksum,
+    and the md5 of the upper-hex resized raster.
+    """
+
+    def _resize_batches(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, in_hs, out_hs, out_ws, sums, digests = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                h = len(payload) // width
+                h2, w2 = h // 2, width // 2
+                raster = np.frombuffer(
+                    bytes(payload)[: h * width], dtype=np.uint8
+                ).reshape(h, width) if h else np.empty((0, width), np.uint8)
+                out = raster[0 : 2 * h2 : 2, 0:width:2][:, :w2]
+                flat = out.tobytes()
+                ids.append(doc_id)
+                in_hs.append(h)
+                out_hs.append(h2)
+                out_ws.append(w2)
+                sums.append(int(out.sum()) if out.size else 0)
+                digests.append(hashlib.md5(flat.hex().upper().encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "in_h": pd.Series(in_hs, dtype="int64"),
+                    "out_h": pd.Series(out_hs, dtype="int64"),
+                    "out_w": pd.Series(out_ws, dtype="int64"),
+                    "sum_out_bytes": pd.Series(sums, dtype="int64"),
+                    "out_md5": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)

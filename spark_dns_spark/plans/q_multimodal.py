@@ -164,3 +164,49 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", mm.payload_from_text("text").alias("payload")
     )
     return mm.frame_sample(videos)
+
+
+@register(
+    "multimodal_resize_nn",
+    f"""
+WITH v AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text))::BIGINT AS n_bytes
+  FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 0
+), dims AS (
+  SELECT doc_id, hx, n_bytes // {mm.RESIZE_W} AS h,
+         (n_bytes // {mm.RESIZE_W}) // 2 AS h2 FROM v
+), px AS (
+  SELECT doc_id, k,
+         substr(hx,
+                CAST((((2 * (k // {mm.RESIZE_W // 2})) * {mm.RESIZE_W}
+                       + 2 * (k % {mm.RESIZE_W // 2})) * 2 + 1) AS INT),
+                2) AS b
+  FROM dims, LATERAL unnest(range(0, h2 * {mm.RESIZE_W // 2})) r(k)
+), agg AS (
+  SELECT doc_id,
+         sum(CAST('0x' || b AS INT))::BIGINT AS sum_out_bytes,
+         md5(string_agg(b, '' ORDER BY k)) AS out_md5
+  FROM px GROUP BY doc_id
+)
+SELECT d.doc_id, d.h AS in_h, d.h2 AS out_h,
+       CAST({mm.RESIZE_W // 2} AS BIGINT) AS out_w,
+       coalesce(a.sum_out_bytes, 0) AS sum_out_bytes,
+       coalesce(a.out_md5, md5('')) AS out_md5
+FROM dims d LEFT JOIN agg a USING (doc_id)
+""",
+    doc="2x nearest-neighbor image resize plumbing (builder brief: "
+    "'resize'): image-kind payloads as HxW byte rasters, every 2nd "
+    "row/column kept — out[i][j] = in[2i*W + 2j], what a real "
+    "PIL/opencv NN resize computes per channel — inside an Arrow "
+    "mapInPandas; map-only, zero exchanges, filter pushed to the "
+    "scan.  Deterministic byte arithmetic gives an exact octet-level "
+    "oracle (hex slicing + ordered string_agg)",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    images = docs.filter((F.col("doc_id") % 3) == 0).select(
+        "doc_id", mm.payload_from_text("text").alias("payload")
+    )
+    return mm.resize_nn(images)

@@ -127,3 +127,45 @@ def test_frame_sample_matches_sequential_replay(spark):
     assert got == sorted(want)
     assert any(r[0] == 2 for r in got)  # non-ASCII doc did emit frames
     assert not any(r[0] in (1, 3) for r in got)
+
+
+def test_resize_nn_matches_sequential_replay(spark):
+    """The NN resize must equal a driver-side replay of the raster
+    arithmetic — out[i][j] = in[2i*W + 2j] — including sub-raster docs
+    (out_h 0, md5 of empty) and non-ASCII payloads."""
+    import hashlib
+
+    texts = [
+        "x" * 300,   # h=9 rows  -> out 4x16
+        "short",     # h=0       -> out 0x16, empty digest
+        "é" * 200,   # 400 bytes -> h=12 -> out 6x16
+        "",          # h=0
+        "a" * 1024,  # h=32      -> out 16x16
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).select("doc_id", mm.payload_from_text("text").alias("payload"))
+    got = sorted(tuple(r) for r in mm.resize_nn(df).collect())
+
+    want = []
+    w = mm.RESIZE_W
+    for i, t in enumerate(texts):
+        b = t.encode("utf-8")
+        h = len(b) // w
+        h2, w2 = h // 2, w // 2
+        flat = bytes(
+            b[(2 * r) * w + 2 * c] for r in range(h2) for c in range(w2)
+        )
+        want.append(
+            (
+                i,
+                h,
+                h2,
+                w2,
+                sum(flat),
+                hashlib.md5(flat.hex().upper().encode()).hexdigest(),
+            )
+        )
+    assert got == sorted(want)
+    empty = hashlib.md5(b"").hexdigest()
+    assert [r[5] for r in got if r[0] in (1, 3)] == [empty, empty]
