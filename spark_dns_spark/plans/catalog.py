@@ -244,6 +244,11 @@ _ROTATION_R6: dict[str, int] = {
     # VERDICT r5 item 7 is unaffected).
     "validate_updates": 6,
     "similarity_topk_bruteforce": 6,
+    # rotate IN — NEW: multimodal_resize_nn (tier-5 default); out:
+    # dedup_cluster_pointer_doubling (r4-new, r5-green, untouched r6 —
+    # the iterative family keeps kmeans + pagerank in-window and the
+    # full-catalog gate still covers both CC variants every round).
+    "dedup_cluster_pointer_doubling": 6,
 }
 
 
