@@ -218,3 +218,58 @@ def pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             _pack, "doc_id long, shard long, n_tok long, bin_id long, bin_fill long"
         )
     )
+
+
+#: Length-grouped batching geometry.
+LG_BUCKET_CHARS = 256
+LG_BATCH_DOCS = 16
+
+
+@register(
+    "batching_length_grouped",
+    f"""
+WITH ranked AS (
+  SELECT doc_id, n_chars,
+         n_chars // {LG_BUCKET_CHARS} AS bucket,
+         ROW_NUMBER() OVER (PARTITION BY n_chars // {LG_BUCKET_CHARS}
+                            ORDER BY n_chars, doc_id) AS rnk
+  FROM documents
+), batched AS (
+  SELECT bucket, (rnk - 1) // {LG_BATCH_DOCS} AS batch_no, n_chars
+  FROM ranked
+)
+SELECT bucket, batch_no,
+       count(*)::BIGINT AS n_docs,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       (count(*) * max(n_chars) - sum(n_chars))::BIGINT AS padding_waste
+FROM batched GROUP BY bucket, batch_no
+""",
+    doc="length-grouped batching (the HF group_by_length pattern): "
+    "docs bucketed by length band, ranked inside each band "
+    "(per-bucket row_number — a PARTITIONED window, never global), "
+    "cut into 16-doc batches, and each batch's padding waste "
+    "(n*max - sum) computed exactly.  One shuffle on the bucket key; "
+    "the batch agg reuses the window's partitioning.  The waste "
+    "metric is what justifies the operator: random batching pads to "
+    "the global max, length-grouped pads to the band max",
+    tags=("packing", "window", "batching"),
+)
+def batching_length_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    b = docs.withColumn(
+        "bucket", F.expr(f"n_chars div {LG_BUCKET_CHARS}")
+    )
+    w = Window.partitionBy("bucket").orderBy("n_chars", "doc_id")
+    batched = b.withColumn("rnk", F.row_number().over(w)).select(
+        "bucket",
+        F.expr(f"(rnk - 1) div {LG_BATCH_DOCS}").alias("batch_no"),
+        "n_chars",
+    )
+    return batched.groupBy("bucket", "batch_no").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (F.count("*") * F.max("n_chars") - F.sum("n_chars"))
+        .cast("long")
+        .alias("padding_waste"),
+    )
