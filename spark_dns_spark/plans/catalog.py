@@ -249,6 +249,11 @@ _ROTATION_R6: dict[str, int] = {
     # the iterative family keeps kmeans + pagerank in-window and the
     # full-catalog gate still covers both CC variants every round).
     "dedup_cluster_pointer_doubling": 6,
+    # rotate IN — NEW: batching_length_grouped (tier-5 default); out:
+    # pack_greedy_bins (its twin pack_tokens_stream stays in-window as
+    # the packing-tier representative; both r6-new and green at all
+    # three SFs under the full gate).
+    "pack_greedy_bins": 6,
 }
 
 
