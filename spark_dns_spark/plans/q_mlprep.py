@@ -446,3 +446,64 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "events_quantile_normalize",
+    """
+WITH b AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli
+  FROM events
+), r AS (
+  SELECT event_id, event_type, v_milli,
+         RANK() OVER (PARTITION BY event_type ORDER BY v_milli) AS rnk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM b
+)
+SELECT event_id, event_type, v_milli,
+       CAST(CASE WHEN n > 1 THEN ((rnk - 1) * 1000000) // (n - 1)
+                 ELSE 0 END AS BIGINT) AS qnorm_ppm
+FROM r
+""",
+    doc="quantile normalization (the rank-based feature transform): "
+    "percent_rank computed as INTEGER arithmetic ((rank-1)*1e6 div "
+    "(n-1)) from RANK() + a count window — tie-stable and exact in "
+    "both engines, no float window function.  Both windows share the "
+    "event_type partitioning: one shuffle total; at 100 TB the "
+    "per-type rank is the same distributed-rank problem the "
+    "sorted-neighborhood dedup solves with the two-level prefix count",
+    tags=("events", "mlprep", "window"),
+)
+def events_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = load_events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("v_milli"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("v_milli")
+    w_all = Window.partitionBy("event_type")
+    r = b.select(
+        "event_id",
+        "event_type",
+        "v_milli",
+        # rank() is IntegerType: the *1e6 product clears int32 at
+        # ~2.1k rows per type, so widen BEFORE the arithmetic (ANSI
+        # mode throws instead of wrapping — caught at sf0.1)
+        F.rank().over(w_rank).cast("long").alias("rnk"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    return r.select(
+        "event_id",
+        "event_type",
+        "v_milli",
+        F.when(
+            F.col("n") > 1,
+            F.expr("((rnk - 1) * 1000000) div (n - 1)"),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("qnorm_ppm"),
+    )
