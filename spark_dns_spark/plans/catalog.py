@@ -254,6 +254,11 @@ _ROTATION_R6: dict[str, int] = {
     # the packing-tier representative; both r6-new and green at all
     # three SFs under the full gate).
     "pack_greedy_bins": 6,
+    # rotate IN — NEW: events_quantile_normalize (tier-5 default);
+    # out: similarity_topk_lsh (r5-green, untouched r6, still timed by
+    # the bench every round; similarity_ivf_recall remains the
+    # in-window ANN representative).
+    "similarity_topk_lsh": 6,
 }
 
 
