@@ -135,6 +135,8 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("f").alias("c"))
         )
         win = counts.orderBy(F.desc("c"), F.asc("pr")).first()
+        if win is None:  # corpus empty / no pair left to merge
+            break
         pr, c = win["pr"], int(win["c"])
         left_sym, right_sym = pr.split("|")
         merged = left_sym + right_sym
