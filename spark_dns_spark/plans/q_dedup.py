@@ -333,28 +333,34 @@ SNM_T_PM = 200
 SNM_NB = 64
 
 
-@register(
-    "dedup_sorted_neighborhood",
-    f"""
-WITH toks AS (
+#: Shared DuckDB CTE chain for the sorted-neighborhood candidate pairs
+#: — ends in a ``snm`` relation (doc_a, doc_b, rank_gap, jaccard_x1000)
+#: so the entity-resolution pipeline can build on the SAME oracle text.
+SNM_CTES = f"""
+snm_toks AS (
   SELECT doc_id, lang, n_chars,
          list_distinct(string_split(text, ' ')) AS tok
   FROM documents
-), ranked AS (
+), snm_ranked AS (
   SELECT doc_id, tok,
          ROW_NUMBER() OVER (ORDER BY lang, n_chars, doc_id) AS rnk
-  FROM toks
-), pairs AS (
+  FROM snm_toks
+), snm_cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          CAST(b.rnk - a.rnk AS BIGINT) AS rank_gap,
          len(list_intersect(a.tok, b.tok)) AS ni,
          len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)) AS nu
-  FROM ranked a JOIN ranked b ON b.rnk - a.rnk BETWEEN 1 AND {SNM_W}
-)
-SELECT doc_a, doc_b, rank_gap,
-       CAST((1000 * ni) // nu AS BIGINT) AS jaccard_x1000
-FROM pairs WHERE 1000 * ni >= {SNM_T_PM} * nu
-""",
+  FROM snm_ranked a JOIN snm_ranked b ON b.rnk - a.rnk BETWEEN 1 AND {SNM_W}
+), snm AS (
+  SELECT doc_a, doc_b, rank_gap,
+         CAST((1000 * ni) // nu AS BIGINT) AS jaccard_x1000
+  FROM snm_cand WHERE 1000 * ni >= {SNM_T_PM} * nu
+)"""
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    "WITH " + SNM_CTES + "\nSELECT doc_a, doc_b, rank_gap, jaccard_x1000 FROM snm",
     doc="sorted-neighborhood dedup (the blocking method that needs NO "
     "hashing): docs globally ranked by (lang, n_chars, doc_id) via the "
     "two-level distributed prefix count (within-bucket row_number + a "
