@@ -192,3 +192,146 @@ def dedup_cluster_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataFram
             edges, labels, doubling=True, name="dedup_cluster_pointer_doubling"
         )
     )
+
+
+#: Representative ordering key headroom: doc_id < 1e7 at any test SF.
+_REP_KEY = "n_chars * 10000000 + doc_id"
+
+#: Max rank buckets for the sweep-line's two-level prefix pass.
+_SWEEP_NB = 256
+
+
+@register(
+    "dedup_snm_span_clusters",
+    "WITH "
+    + __import__(
+        "spark_dns_spark.plans.q_dedup", fromlist=["SNM_CTES"]
+    ).SNM_CTES
+    + f"""
+, iv AS (SELECT rnk_a, rnk_b FROM snm),
+flg AS (
+  SELECT rnk_a, rnk_b,
+         CASE WHEN rnk_a > coalesce(max(rnk_b) OVER (ORDER BY rnk_a, rnk_b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM iv
+), isl AS (
+  SELECT rnk_a, rnk_b,
+         sum(brk) OVER (ORDER BY rnk_a, rnk_b ROWS UNBOUNDED PRECEDING)
+           AS island
+  FROM flg
+), nodes AS (
+  SELECT DISTINCT island, r FROM (
+    SELECT island, rnk_a AS r FROM isl
+    UNION ALL SELECT island, rnk_b AS r FROM isl)
+), members AS (
+  SELECT n.island, rk.doc_id, d.n_chars
+  FROM nodes n JOIN snm_ranked rk ON rk.rnk = n.r
+  JOIN documents d ON d.doc_id = rk.doc_id
+)
+SELECT min(doc_id) AS cluster_id, count(*)::BIGINT AS n_members,
+       arg_max(doc_id, {_REP_KEY}) AS rep_doc_id,
+       max(n_chars) AS rep_n_chars
+FROM members GROUP BY island
+""",
+    doc="sweep-line span clustering of the sorted-neighborhood matches "
+    "— the SCALABLE clustering for rank-local pair graphs, replacing "
+    "the rejected CC-over-SNM composition (SURVEY continuation 9): "
+    "each matched pair is a rank interval [rnk_a, rnk_b]; clusters = "
+    "maximal unions of OVERLAPPING intervals, found in one ordered "
+    "pass (running-max break detection + prefix-sum numbering, both "
+    "via the two-level distributed pattern — no iteration, no "
+    "recursion, O(n log n) at any scale).  DELIBERATELY coarser than "
+    "connected components: overlapping spans merge even without a "
+    "shared endpoint, the right semantic for review-list blocking; "
+    "representatives picked per span by the integer (n_chars, doc_id) "
+    "key",
+    tags=("dedup", "cluster", "sweepline"),
+)
+def dedup_snm_span_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from spark_dns_spark.plans.q_dedup import snm_ranked_pairs
+    from spark_dns_spark.session import load_table
+
+    ranked, pairs = snm_ranked_pairs(spark, sf_dir)
+    iv = pairs.select("rnk_a", "rnk_b").persist()
+    max_rnk = iv.agg(F.max("rnk_b")).first()[0]
+    span = (int(max_rnk) // _SWEEP_NB + 1) if max_rnk is not None else 1
+    b = iv.withColumn("bucket", F.expr(f"rnk_a div {span}"))
+
+    # break detection: prev_end = max end over ALL earlier intervals =
+    # greatest(within-bucket running max over preceding rows, max of
+    # all earlier buckets) — the earlier-bucket side is a <=256-row
+    # relation, windowed tiny then broadcast back
+    w_prev = (
+        Window.partitionBy("bucket")
+        .orderBy("rnk_a", "rnk_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_pre_b = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bstats = (
+        b.groupBy("bucket")
+        .agg(F.max("rnk_b").alias("bmax"))
+        .withColumn("prefix_end", F.max("bmax").over(w_pre_b))
+        .select("bucket", "prefix_end")
+    )
+    flg = (
+        b.join(F.broadcast(bstats), "bucket")
+        .withColumn("prev_local", F.max("rnk_b").over(w_prev))
+        .withColumn(
+            "prev_end",
+            F.greatest(
+                F.coalesce(F.col("prefix_end"), F.lit(-1)),
+                F.coalesce(F.col("prev_local"), F.lit(-1)),
+            ),
+        )
+        .withColumn(
+            "brk", F.when(F.col("rnk_a") > F.col("prev_end"), 1).otherwise(0)
+        )
+        .persist()
+    )
+
+    # island numbering: two-level prefix sum of the break flags over
+    # the same (bucket, rnk_a, rnk_b) order
+    w_cum = (
+        Window.partitionBy("bucket")
+        .orderBy("rnk_a", "rnk_b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    btot = (
+        flg.groupBy("bucket")
+        .agg(F.sum("brk").alias("btot"))
+        .withColumn(
+            "prefix_cnt",
+            F.coalesce(F.sum("btot").over(w_pre_b), F.lit(0)),
+        )
+        .select("bucket", "prefix_cnt")
+    )
+    isl = (
+        flg.join(F.broadcast(btot), "bucket")
+        .withColumn(
+            "island", F.col("prefix_cnt") + F.sum("brk").over(w_cum)
+        )
+        .select("island", "rnk_a", "rnk_b")
+    )
+
+    nodes = (
+        isl.select("island", F.col("rnk_a").alias("r"))
+        .union(isl.select("island", F.col("rnk_b").alias("r")))
+        .distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    members = nodes.join(
+        ranked, nodes.r == ranked.rnk
+    ).join(docs, "doc_id")
+    return members.groupBy("island").agg(
+        F.min("doc_id").alias("cluster_id"),
+        F.count("*").alias("n_members"),
+        F.max_by("doc_id", F.expr(_REP_KEY)).alias("rep_doc_id"),
+        F.max("n_chars").alias("rep_n_chars"),
+    ).drop("island")

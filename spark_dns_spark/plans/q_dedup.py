@@ -347,33 +347,34 @@ snm_toks AS (
   FROM snm_toks
 ), snm_cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.rnk AS rnk_a, b.rnk AS rnk_b,
          CAST(b.rnk - a.rnk AS BIGINT) AS rank_gap,
          len(list_intersect(a.tok, b.tok)) AS ni,
          len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)) AS nu
   FROM snm_ranked a JOIN snm_ranked b ON b.rnk - a.rnk BETWEEN 1 AND {SNM_W}
 ), snm AS (
-  SELECT doc_a, doc_b, rank_gap,
+  SELECT doc_a, doc_b, rnk_a, rnk_b, rank_gap,
          CAST((1000 * ni) // nu AS BIGINT) AS jaccard_x1000
   FROM snm_cand WHERE 1000 * ni >= {SNM_T_PM} * nu
 )"""
 
 
-@register(
-    "dedup_sorted_neighborhood",
-    "WITH " + SNM_CTES + "\nSELECT doc_a, doc_b, rank_gap, jaccard_x1000 FROM snm",
-    doc="sorted-neighborhood dedup (the blocking method that needs NO "
-    "hashing): docs globally ranked by (lang, n_chars, doc_id) via the "
-    "two-level distributed prefix count (within-bucket row_number + a "
-    "broadcast bucket-offset table — the oracle's single-partition "
-    "ROW_NUMBER window is the semantic spec, not the plan), candidate "
-    "pairs = rank distance <= 4 via the 2-bucket-explode equi-join "
-    "idiom shared with range_join_bucketed, then exact token-set "
-    "Jaccard (integer cross-multiplied filter).  Rank is computed on "
-    "SKINNY columns only; token arrays join back by doc_id afterwards "
-    "so text never rides the ranking shuffles",
-    tags=("dedup", "similarity", "window"),
-)
-def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+def snm_ranked_pairs(spark: SparkSession, sf_dir: str):
+    """Shared sorted-neighborhood machinery: the distributed global
+    ranking and the Jaccard-thresholded neighbor pairs WITH their
+    ranks — consumed by both the pair query and the sweep-line
+    component query.
+
+    Returns ``(ranked, pairs)``: ``ranked`` is (doc_id, rnk) from the
+    two-level distributed prefix count (within-bucket row_number + a
+    broadcast bucket-offset table — the oracle's single-partition
+    ROW_NUMBER window is the semantic spec, not the plan); ``pairs``
+    is (doc_a, doc_b, rnk_a, rnk_b, rank_gap, jaccard_x1000) built by
+    the 2-bucket-explode neighbor join + exact token-set Jaccard with
+    an integer cross-multiplied threshold.  Ranking runs on SKINNY
+    columns; token arrays join back by doc_id afterwards so text never
+    rides the ranking shuffles.
+    """
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -432,6 +433,8 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
+            "rnk_a",
+            "rnk_b",
             (F.col("rnk_b") - F.col("rnk_a")).cast("long").alias("rank_gap"),
         )
     )
@@ -447,7 +450,7 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ni = F.size(F.array_intersect("tok_a", "tok_b"))
     nu = F.size("tok_a") + F.size("tok_b") - ni
-    return (
+    pairs = (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
         .withColumn("ni", ni)
@@ -456,7 +459,27 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
+            "rnk_a",
+            "rnk_b",
             "rank_gap",
             F.expr("(1000 * ni) div nu").cast("long").alias("jaccard_x1000"),
         )
     )
+    return ranked, pairs
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    "WITH " + SNM_CTES + "\nSELECT doc_a, doc_b, rank_gap, jaccard_x1000 FROM snm",
+    doc="sorted-neighborhood dedup (the blocking method that needs NO "
+    "hashing): docs globally ranked by (lang, n_chars, doc_id) via the "
+    "two-level distributed prefix count, candidate pairs = rank "
+    "distance <= 4 via the 2-bucket-explode equi-join idiom shared "
+    "with range_join_bucketed, then exact token-set Jaccard (integer "
+    "cross-multiplied filter); machinery shared with the sweep-line "
+    "component query (snm_ranked_pairs)",
+    tags=("dedup", "similarity", "window"),
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, pairs = snm_ranked_pairs(spark, sf_dir)
+    return pairs.select("doc_a", "doc_b", "rank_gap", "jaccard_x1000")
