@@ -259,6 +259,10 @@ _ROTATION_R6: dict[str, int] = {
     # the bench every round; similarity_ivf_recall remains the
     # in-window ANN representative).
     "similarity_topk_lsh": 6,
+    # rotate IN — NEW: dedup_snm_span_clusters (tier-5 default); out:
+    # pipeline_curate_corpus (r5-green, untouched r6; every component
+    # pass it composes is individually under the full-catalog gate).
+    "pipeline_curate_corpus": 6,
 }
 
 
