@@ -77,6 +77,13 @@ HEADLINE = [
     "events_funnel_conversion",
     "basket_copurchase_lift",
     "events_value_histogram",
+    # round-6 continuation-7+ tier (44 -> 49; streaming catalog queries
+    # stay out of the bench — they time file staging, not the engine)
+    "multimodal_resize_nn",
+    "ivm_agg_delta",
+    "events_equidepth_quartiles",
+    "events_quantile_normalize",
+    "dedup_snm_span_clusters",
 ]
 
 
