@@ -273,3 +273,94 @@ def events_equidepth_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("v").alias("max_milli"),
         )
     )
+
+
+#: Snapshot-diff simulation parameters (orders keyed by o_orderkey):
+#: keys ≡ 0 (mod ADD_M) are new in B, ≡ 0 (mod DEL_M) deleted in B,
+#: ≡ 0 (mod CHG_M) price-bumped in B.
+DIFF_ADD_M, DIFF_DEL_M, DIFF_CHG_M = 13, 11, 7
+DIFF_BUMP_CENTS = 100_000
+
+
+@register(
+    "snapshot_diff_orders",
+    f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % {DIFF_ADD_M} != 0
+), head AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+           + CASE WHEN o_orderkey % {DIFF_CHG_M} = 0
+                  THEN {DIFF_BUMP_CENTS} ELSE 0 END AS cents
+  FROM orders WHERE o_orderkey % {DIFF_DEL_M} != 0
+), d AS (
+  SELECT coalesce(b.o_orderkey, h.o_orderkey) AS k,
+         CASE WHEN b.o_orderkey IS NULL THEN 'added'
+              WHEN h.o_orderkey IS NULL THEN 'deleted'
+              WHEN b.cents != h.cents
+                OR b.o_orderstatus != h.o_orderstatus THEN 'changed'
+              ELSE 'unchanged' END AS diff_class,
+         CASE WHEN b.o_orderkey IS NOT NULL AND h.o_orderkey IS NOT NULL
+              THEN abs(h.cents - b.cents) ELSE 0 END AS delta_cents
+  FROM base b FULL OUTER JOIN head h ON b.o_orderkey = h.o_orderkey
+)
+SELECT diff_class, count(*)::BIGINT AS n,
+       sum(delta_cents)::BIGINT AS sum_delta_cents
+FROM d GROUP BY diff_class
+""",
+    doc="dataset-versioning snapshot diff: two simulated snapshots of "
+    "orders (adds, deletes, price-bump changes derived "
+    "deterministically by key residues) compared with ONE full-outer "
+    "join on the key — both sides hash-partition identically, so the "
+    "join is co-located; per-class counts + exact integer cent drift. "
+    "The operation every incremental pipeline runs to audit what a "
+    "batch actually changed",
+    tags=("validate", "diff", "join"),
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    base = orders.filter(
+        F.col("o_orderkey") % DIFF_ADD_M != 0
+    ).select(
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_orderstatus").alias("b_status"),
+        cents.alias("b_cents"),
+    )
+    head = orders.filter(
+        F.col("o_orderkey") % DIFF_DEL_M != 0
+    ).select(
+        F.col("o_orderkey").alias("h_key"),
+        F.col("o_orderstatus").alias("h_status"),
+        (
+            cents
+            + F.when(
+                F.col("o_orderkey") % DIFF_CHG_M == 0, DIFF_BUMP_CENTS
+            ).otherwise(0)
+        ).alias("h_cents"),
+    )
+    d = base.join(
+        head, base.b_key == head.h_key, "full_outer"
+    ).select(
+        F.when(F.col("b_key").isNull(), "added")
+        .when(F.col("h_key").isNull(), "deleted")
+        .when(
+            (F.col("b_cents") != F.col("h_cents"))
+            | (F.col("b_status") != F.col("h_status")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("diff_class"),
+        F.when(
+            F.col("b_key").isNotNull() & F.col("h_key").isNotNull(),
+            F.abs(F.col("h_cents") - F.col("b_cents")),
+        )
+        .otherwise(0)
+        .alias("delta_cents"),
+    )
+    return d.groupBy("diff_class").agg(
+        F.count("*").alias("n"),
+        F.sum("delta_cents").cast("long").alias("sum_delta_cents"),
+    )
