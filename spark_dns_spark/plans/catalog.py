@@ -263,6 +263,10 @@ _ROTATION_R6: dict[str, int] = {
     # pipeline_curate_corpus (r5-green, untouched r6; every component
     # pass it composes is individually under the full-catalog gate).
     "pipeline_curate_corpus": 6,
+    # rotate IN — NEW: snapshot_diff_orders (tier-5 default); out:
+    # text_chunk_windows (green since r3; the UDTF surface stays
+    # pytest-pinned in tests/test_chunking.py and under the full gate).
+    "text_chunk_windows": 6,
 }
 
 
