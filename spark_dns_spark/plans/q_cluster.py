@@ -335,3 +335,111 @@ def dedup_snm_span_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("doc_id", F.expr(_REP_KEY)).alias("rep_doc_id"),
         F.max("n_chars").alias("rep_n_chars"),
     ).drop("island")
+
+
+def _canonical(e: DataFrame) -> DataFrame:
+    """Undirected edge set in canonical (lo, hi) form, no self loops."""
+    return (
+        e.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _star_round(e: DataFrame, large: bool) -> DataFrame:
+    """One star operation (Kiveris et al., 'Connected Components in
+    MapReduce and Beyond'): every node u computes m = min(Γ(u) ∪ {u})
+    and re-attaches its larger (large-star) or not-larger (small-star)
+    neighbors directly to m.  Each emitted edge stays inside u's
+    component, every node re-attaches itself via (u, m), so components
+    are preserved while long paths contract geometrically."""
+    adj = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mn = adj.groupBy("src").agg(F.min("dst").alias("mnv"))
+    mn = mn.select(
+        F.col("src").alias("u"), F.least("src", "mnv").alias("m")
+    )
+    j = adj.join(mn, adj.src == mn.u)
+    keep = F.col("dst") > F.col("u") if large else F.col("dst") <= F.col("u")
+    moved = j.filter(keep).select(
+        F.col("dst").alias("src"), F.col("m").alias("dst")
+    )
+    self_edge = mn.filter(F.col("u") != F.col("m")).select(
+        F.col("u").alias("src"), F.col("m").alias("dst")
+    )
+    return _canonical(moved.union(self_edge))
+
+
+def star_contraction_components(
+    edges: DataFrame, max_iters: int = 40
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction — O(log² n) rounds on ANY graph shape, including the
+    Θ(n)-diameter chains where one-hop min-label propagation (even
+    with pointer halving) degrades to Θ(diameter) rounds (SURVEY
+    round-6 continuation 9 measured exactly that).  Each round is two
+    groupBy+join passes over the CURRENT edge set, which only
+    shrinks toward one star per component; fixpoint = edge set
+    unchanged.  Returns (doc_id, label) with label = component min,
+    for every endpoint of the ORIGINAL edges."""
+    e = _canonical(edges).localCheckpoint(eager=True)
+    converged = False
+    for _ in range(max_iters):
+        e2 = _star_round(_star_round(e, large=True), large=False)
+        e2 = e2.localCheckpoint(eager=True)
+        diff = e2.exceptAll(e).count() + e.exceptAll(e2).count()
+        old = e
+        e = e2
+        old.unpersist()
+        if diff == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iters} rounds "
+            "— exceeds the O(log^2 n) bound by orders of magnitude; "
+            "almost certainly a bug, not a graph"
+        )
+    # final graph is a star per component: label = min(u, min Γ(u))
+    nodes = (
+        edges.select(F.col("src").alias("doc_id"))
+        .union(edges.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    adj = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = adj.groupBy("src").agg(F.min("dst").alias("mnv"))
+    return nodes.join(
+        mins, nodes.doc_id == mins.src, "left"
+    ).select(
+        "doc_id",
+        F.least(
+            F.col("doc_id"), F.coalesce(F.col("mnv"), F.col("doc_id"))
+        ).alias("label"),
+    )
+
+
+@register(
+    "dedup_cluster_star_contraction",
+    CLUSTER_SQL,
+    doc="connected components by alternating large-star/small-star "
+    "contraction (Kiveris et al.) over the LSH near-dup graph — the "
+    "THIRD CC formulation in the catalog and the one that is "
+    "O(log^2 n) rounds on ANY graph shape, closing the gap "
+    "continuation 9 measured (one-hop min-label + pointer halving "
+    "degrade to Theta(diameter) on chain graphs).  Same recursive-CTE "
+    "reachability oracle as the other two variants, so all three "
+    "provably compute the same components",
+    tags=("dedup", "cluster", "iterative"),
+)
+def dedup_cluster_star_contraction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b").persist()
+    edges = pairs.toDF("src", "dst").persist()
+    edges.count()
+    labels = star_contraction_components(edges)
+    return _with_sizes(labels)
