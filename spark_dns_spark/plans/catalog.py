@@ -267,6 +267,12 @@ _ROTATION_R6: dict[str, int] = {
     # text_chunk_windows (green since r3; the UDTF surface stays
     # pytest-pinned in tests/test_chunking.py and under the full gate).
     "text_chunk_windows": 6,
+    # rotate IN — NEW: dedup_cluster_star_contraction (tier-5
+    # default); out: dns_read_zone_pushdown (green every round since
+    # r1; pushdown stays pinned by test_plan_shapes +
+    # tests/test_dns_source.py, and axfr/ixfr/stream remain the
+    # in-window connector representatives).
+    "dns_read_zone_pushdown": 6,
 }
 
 
