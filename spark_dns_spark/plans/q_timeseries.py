@@ -179,3 +179,74 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_ticks"),
         F.sum("v_milli").alias("vol_milli"),
     )
+
+
+#: CUSUM drift parameters (milli-units): target level and alarm bound.
+CUSUM_TARGET = 40_000
+CUSUM_H = 500_000
+
+
+@register(
+    "events_cusum_drift",
+    f"""
+WITH b AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) - {CUSUM_TARGET} AS d
+  FROM events
+), p AS (
+  SELECT user_id, ts, event_id,
+         sum(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS pre
+  FROM b
+), r AS (
+  SELECT user_id, pre,
+         min(pre) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS runmin
+  FROM p
+), s AS (
+  SELECT user_id,
+         CAST(pre - least(runmin, 0) AS BIGINT) AS cusum FROM r
+)
+SELECT user_id, count(*)::BIGINT AS n,
+       max(cusum)::BIGINT AS max_cusum,
+       sum(CASE WHEN cusum > {CUSUM_H} THEN 1 ELSE 0 END)::BIGINT
+         AS n_alarms
+FROM s GROUP BY user_id
+""",
+    doc="CUSUM drift detection per user (the sequential data-drift "
+    "monitor): S_k = max(0, S_k-1 + (x_k - target)) looks like an "
+    "unexpressible recurrence, but has the closed form "
+    "S_k = P_k - min(0, running-min of P) over the prefix sums — two "
+    "stacked windows on ONE user_id partitioning, no applyInPandas, "
+    "no iteration; integer milli-units end-to-end.  Output per user: "
+    "max drift statistic + alarm count at h",
+    tags=("timeseries", "window", "drift"),
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = load_events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
+            - CUSUM_TARGET
+        ).alias("d"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = b.withColumn("pre", F.sum("d").over(w))
+    r = p.withColumn("runmin", F.min("pre").over(w))
+    s = r.select(
+        "user_id",
+        (F.col("pre") - F.least(F.col("runmin"), F.lit(0))).alias("cusum"),
+    )
+    return s.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.max("cusum").alias("max_cusum"),
+        F.sum(F.when(F.col("cusum") > CUSUM_H, 1).otherwise(0))
+        .cast("long")
+        .alias("n_alarms"),
+    )
