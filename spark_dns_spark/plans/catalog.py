@@ -273,6 +273,12 @@ _ROTATION_R6: dict[str, int] = {
     # tests/test_dns_source.py, and axfr/ixfr/stream remain the
     # in-window connector representatives).
     "dns_read_zone_pushdown": 6,
+    # rotate IN — NEW: events_cusum_drift (tier-5 default); out:
+    # dns_stream_sink_roundtrip (r5-green; sessionize_stream_stateful,
+    # stream_dedup_replay and stream_attribution_join keep streaming
+    # execution in-window, and the connector round-trip stays pinned
+    # by tests/test_dns_streaming.py + tests/test_dns_sink.py).
+    "dns_stream_sink_roundtrip": 6,
 }
 
 
