@@ -84,6 +84,7 @@ HEADLINE = [
     "events_equidepth_quartiles",
     "events_quantile_normalize",
     "dedup_snm_span_clusters",
+    "events_cusum_drift",
 ]
 
 
