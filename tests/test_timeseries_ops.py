@@ -1,0 +1,147 @@
+"""Edge-case pins for the time-series / funnel / index operators on
+synthetic frames — cases the uniform driver testdata never produces:
+single-hour users, same-microsecond OHLC ties, boundary-exact funnel
+conversions, posting lists longer than the cap."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+BASE = datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _events(spark, rows):
+    # (event_id, ts, user_id, event_type, value)
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+
+
+def test_gap_fill_single_hour_user_has_no_gaps(spark, tmp_path):
+    from spark_dns_spark.plans.q_timeseries import events_gap_fill_ffill
+
+    ev = _events(
+        spark,
+        [
+            (1, BASE, 1, "view", 10.0),
+            (2, BASE.replace(minute=30), 1, "view", 20.0),
+            # user 2: events 3 hours apart -> 2 gap hours, filled with
+            # the hour-1 last value (event 4, later ts wins)
+            (3, BASE, 2, "view", 5.0),
+            (4, BASE.replace(minute=45), 2, "view", 7.0),
+            (5, BASE.replace(hour=3), 2, "view", 9.0),
+        ],
+    )
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["user_id"]: (r["n_hours"], r["n_gaps"], r["gap_fill_milli"])
+        for r in events_gap_fill_ffill(spark, str(tmp_path)).collect()
+    }
+    assert out[1] == (1, 0, 0)
+    # 4 grid hours, 2 gaps, each filled with 7000 milli
+    assert out[2] == (4, 2, 14000)
+
+
+def test_ohlc_same_microsecond_tie_breaks_on_event_id(spark, tmp_path):
+    from spark_dns_spark.plans.q_timeseries import events_ohlc_bars
+
+    ts = BASE
+    ev = _events(
+        spark,
+        [
+            (7, ts, 1, "view", 100.0),  # same ts: higher id = close
+            (3, ts, 1, "view", 200.0),  # lower id = open
+            (5, ts.replace(minute=5), 1, "view", 50.0),
+        ],
+    )
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    row = events_ohlc_bars(spark, str(tmp_path)).collect()[0]
+    assert row["open_milli"] == 200000  # event 3
+    assert row["close_milli"] == 50000  # latest ts (event 5)
+    assert row["high_milli"] == 200000 and row["low_milli"] == 50000
+
+
+def test_funnel_boundary_and_order_rules(spark, tmp_path):
+    from spark_dns_spark.plans.q_cooccur import events_funnel_conversion
+
+    h1 = BASE.replace(hour=1)
+    ev = _events(
+        spark,
+        [
+            # user 1: click exactly AT the 1h boundary -> counts (<=)
+            (1, BASE, 1, "signup", 1.0),
+            (2, h1, 1, "click", 1.0),
+            (3, h1, 1, "purchase", 1.0),
+            # user 2: click BEFORE signup -> not converted
+            (4, BASE, 2, "click", 1.0),
+            (5, BASE.replace(minute=10), 2, "signup", 1.0),
+            # user 3: signup only
+            (6, BASE, 3, "signup", 1.0),
+            # user 4: no signup at all
+            (7, BASE, 4, "purchase", 1.0),
+        ],
+    )
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    row = events_funnel_conversion(spark, str(tmp_path)).collect()[0]
+    assert (
+        row["n_signup"],
+        row["n_clicked_1h"],
+        row["n_converted_1h"],
+        row["n_users"],
+    ) == (3, 1, 1, 4)
+
+
+def test_inverted_postings_cap_and_df(spark, tmp_path):
+    from spark_dns_spark.plans.q_index import (
+        POSTINGS_CAP,
+        index_inverted_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "common common filler" + str(i)) for i in range(40)],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("s")
+    ).withColumn("n_chars", F.length("text"))
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["term"]: r
+        for r in index_inverted_postings(spark, str(tmp_path)).collect()
+    }
+    # 'common' appears in all 40 docs but dup-per-doc counts once;
+    # posting sample capped at 16 SMALLEST doc_ids, sorted
+    r = rows["common"]
+    assert r["df_count"] == 40
+    got = [int(x) for x in r[f"postings{POSTINGS_CAP}"].split(",")]
+    assert got == list(range(POSTINGS_CAP))
+    assert r["first_doc"] == 0
+
+
+def test_snapshot_diff_classes_partition_key_space(spark):
+    from spark_dns_spark.plans.q_validate import (
+        DIFF_ADD_M,
+        DIFF_DEL_M,
+        snapshot_diff_orders,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r["diff_class"]: r["n"]
+        for r in snapshot_diff_orders(spark, sf).collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    n_keys = con.execute(
+        f"SELECT count(*), "
+        f"sum(CASE WHEN o_orderkey % {DIFF_ADD_M} = 0 AND "
+        f"o_orderkey % {DIFF_DEL_M} = 0 THEN 1 ELSE 0 END) "
+        f"FROM '{sf}/orders.parquet'"
+    ).fetchone()
+    # every key lands in exactly one class, except keys absent from
+    # BOTH snapshots (residue 0 mod both moduli)
+    assert sum(rows.values()) == n_keys[0] - (n_keys[1] or 0)
+    assert rows["changed"] > 0 and rows["added"] > 0 and rows["deleted"] > 0
