@@ -145,3 +145,57 @@ def test_snapshot_diff_classes_partition_key_space(spark):
     # BOTH snapshots (residue 0 mod both moduli)
     assert sum(rows.values()) == n_keys[0] - (n_keys[1] or 0)
     assert rows["changed"] > 0 and rows["added"] > 0 and rows["deleted"] > 0
+
+
+def test_cusum_closed_form_equals_recurrence(spark, tmp_path):
+    """The query's P_k - min(0, runmin P) closed form must equal the
+    textbook recurrence S_k = max(0, S_{k-1} + d_k) on random data."""
+    import numpy as np
+
+    from spark_dns_spark.plans.q_timeseries import (
+        CUSUM_H,
+        CUSUM_TARGET,
+        events_cusum_drift,
+    )
+
+    rng = np.random.default_rng(42)
+    rows = []
+    want = {}
+    for uid in range(5):
+        vals = rng.uniform(0, 120, size=50)
+        s = 0
+        max_s = 0
+        alarms = 0
+        for i, v in enumerate(vals):
+            ts = BASE.replace(hour=i // 60, minute=i % 60)
+            eid = uid * 1000 + i
+            rows.append((eid, ts, uid, "view", float(v)))
+            d = int(np.floor(v * 1000 + 0.5)) - CUSUM_TARGET
+            s = max(0, s + d)
+            max_s = max(max_s, s)
+            alarms += s > CUSUM_H
+        want[uid] = (50, max_s, alarms)
+    _events(spark, rows).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["user_id"]: (r["n"], r["max_cusum"], r["n_alarms"])
+        for r in events_cusum_drift(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+
+
+def test_mad_constant_user_flags_only_deviants(spark, tmp_path):
+    from spark_dns_spark.plans.q_mlprep import events_mad_outliers
+
+    rows = [(i, BASE.replace(minute=i), 1, "view", 5.0) for i in range(9)]
+    rows += [(9, BASE.replace(minute=9), 1, "view", 50.0)]  # lone deviant
+    rows += [(i + 10, BASE.replace(minute=i), 2, "view", 3.0) for i in range(5)]
+    _events(spark, rows).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["user_id"]: (r["mad4"], r["n_outliers"], r["n"])
+        for r in events_mad_outliers(spark, str(tmp_path)).collect()
+    }
+    # user 1: median 5000, MAD 0 -> any nonzero deviation flags (the
+    # deviant 50.0), the constant points do not
+    assert got[1] == (0, 1, 10)
+    # user 2: all constant -> MAD 0, zero outliers
+    assert got[2] == (0, 0, 5)
