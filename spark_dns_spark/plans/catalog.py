@@ -279,6 +279,10 @@ _ROTATION_R6: dict[str, int] = {
     # execution in-window, and the connector round-trip stays pinned
     # by tests/test_dns_streaming.py + tests/test_dns_sink.py).
     "dns_stream_sink_roundtrip": 6,
+    # rotate IN — NEW: lineitem_unpivot_metrics (tier-5 default); out:
+    # format_orc_roundtrip (mechanical variant of the r4-judged
+    # json/csv roundtrips; stays under the full-catalog gate).
+    "format_orc_roundtrip": 6,
 }
 
 

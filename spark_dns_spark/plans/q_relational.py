@@ -825,3 +825,55 @@ def orders_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("orders"),
         )
     )
+
+
+@register(
+    "lineitem_unpivot_metrics",
+    """
+WITH u AS (
+  UNPIVOT (
+    SELECT l_orderkey,
+           CAST(floor(l_quantity * 1000 + 0.5) AS BIGINT) AS quantity,
+           CAST(floor(l_extendedprice * 1000 + 0.5) AS BIGINT)
+             AS extendedprice,
+           CAST(floor(l_discount * 1000 + 0.5) AS BIGINT) AS discount,
+           CAST(floor(l_tax * 1000 + 0.5) AS BIGINT) AS tax
+    FROM lineitem
+  ) ON quantity, extendedprice, discount, tax
+  INTO NAME metric VALUE v_milli
+)
+SELECT metric, count(*)::BIGINT AS n,
+       sum(v_milli)::BIGINT AS sum_milli,
+       min(v_milli) AS min_milli, max(v_milli) AS max_milli
+FROM u GROUP BY metric
+""",
+    doc="unpivot/melt — the wide-to-long reshape completing the pivot "
+    "family (orders_pivot_status covers long-to-wide): four lineitem "
+    "measures melt to (metric, value) rows via the native unpivot "
+    "operator (a map-only 4x row expansion inside the scan stage, no "
+    "shuffle until the 4-key aggregate), all values in exact milli-int "
+    "units",
+    tags=("relational", "reshape", "agg"),
+)
+def lineitem_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    milli = lambda c: F.floor(F.col(c) * 1000 + F.lit(0.5)).cast("long")  # noqa: E731
+    wide = li.select(
+        "l_orderkey",
+        milli("l_quantity").alias("quantity"),
+        milli("l_extendedprice").alias("extendedprice"),
+        milli("l_discount").alias("discount"),
+        milli("l_tax").alias("tax"),
+    )
+    long = wide.unpivot(
+        ids=["l_orderkey"],
+        values=["quantity", "extendedprice", "discount", "tax"],
+        variableColumnName="metric",
+        valueColumnName="v_milli",
+    )
+    return long.groupBy("metric").agg(
+        F.count("*").alias("n"),
+        F.sum("v_milli").alias("sum_milli"),
+        F.min("v_milli").alias("min_milli"),
+        F.max("v_milli").alias("max_milli"),
+    )
