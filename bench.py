@@ -146,7 +146,13 @@ def main() -> None:
             release_all_caches(spark)
 
     sf = float(Path(sf_dir).name.replace("sf", "") or 0)
-    out = {
+    # Full per-query detail goes to a FILE: the driver keeps only a
+    # ~2,000-char tail of stdout, and the r6 final line (~2.6 KB with
+    # 50 queries x 2 splits) overflowed it — BENCH_r06.json recorded
+    # "parsed": null and the round's perf numbers survived only in
+    # prose (VERDICT r6 item 1).  The final stdout line below is a
+    # compact summary (<1.5 KB) the driver can always parse.
+    detail = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -155,9 +161,38 @@ def main() -> None:
         "sf": sf,
     }
     if skipped:
-        out["skipped"] = skipped
+        detail["skipped"] = skipped
     if errors:
-        out["errors"] = errors
+        detail["errors"] = errors
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+
+    # Cross-round totals compare per-prefix (BASELINE.md): the headline
+    # list only ever APPENDS, so position-prefix sums are stable
+    # identifiers across rounds.
+    def prefix_sum(d: dict[str, float], n: int) -> float:
+        names = [q for q in HEADLINE[:n] if q in d]
+        return round(sum(d[q] for q in names), 3)
+
+    bounds = [27, 31, 38, 44, 49, len(HEADLINE)]
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": detail["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "prefix_sums": {str(b): prefix_sum(timings, b) for b in bounds},
+        "prefix_sums_count_only": {
+            str(b): prefix_sum(count_only, b) for b in bounds
+        },
+        "top5_slowest": slowest,
+        "n_errors": len(errors),
+        "n_skipped": len(skipped),
+        "detail_file": detail_path.name,
+    }
     print(json.dumps(out))
 
 
