@@ -39,7 +39,7 @@ SCALE = 1000  #: integer quantization: q_i = floor(v_i * SCALE + 0.5)
 DIM = sim.DIM
 
 
-def _int_dist(cv: list[int]) -> str:
+def int_dist(cv: list[int]) -> str:
     """Spark codegen integer ||q - c||^2 with the centroid inlined as
     literals over scalar columns q0..q{DIM-1}."""
     return "0L" + "".join(
@@ -47,16 +47,111 @@ def _int_dist(cv: list[int]) -> str:
     )
 
 
-def _dist_sql(qv: str, cv: str) -> str:
+def dist_sql(qv: str, cv: str) -> str:
     """DuckDB integer ||qv - cv||^2 fold over two BIGINT lists (1-based)."""
     return "0" + "".join(
         f" + ({qv}[{i}]-{cv}[{i}])*({qv}[{i}]-{cv}[{i}])" for i in range(1, DIM + 1)
     )
 
 
-_Q_COLS_SQL = ", ".join(
+# backward-compatible private aliases (pre-r7 internal names)
+_int_dist = int_dist
+_dist_sql = dist_sql
+
+#: DuckDB projection list quantizing a DOUBLE[] column ``v`` (1-based)
+#: into the shared integer domain — ``[Q_COLS_SQL] AS qv``.
+Q_COLS_SQL = ", ".join(
     f"CAST(floor(v[{i}]*{SCALE} + 0.5) AS BIGINT)" for i in range(1, DIM + 1)
 )
+_Q_COLS_SQL = Q_COLS_SQL
+
+
+def quantize(e: DataFrame) -> DataFrame:
+    """(vec_id, v: array<double>) -> (vec_id, q0..q{DIM-1}) in the shared
+    integer domain — the Spark mirror of :data:`Q_COLS_SQL`."""
+    return e.select(
+        "vec_id",
+        *[
+            F.expr(f"CAST(floor(v[{i}]*{SCALE}D + 0.5D) AS BIGINT)").alias(
+                f"q{i}"
+            )
+            for i in range(DIM)
+        ],
+    )
+
+
+def seed_cents(q: DataFrame, kc: int) -> list[list[int]]:
+    """Deterministic seeds: the ``kc`` smallest vec_ids' quantized
+    vectors (cell j = j-th smallest).  A kc-row driver collect — the
+    K-row model state every Lloyd implementation holds."""
+    rows = q.orderBy("vec_id").limit(kc).collect()
+    return [[int(r[f"q{i}"]) for i in range(DIM)] for r in rows]
+
+
+def lloyd_train(
+    q: DataFrame, cents: list[list[int]], iters: int
+) -> list[list[int]]:
+    """Run ``iters - 1`` Lloyd update rounds and return the final
+    centroids.  Per round: one codegen argmin assignment (centroid
+    literals inlined — the vectors never shuffle) plus one map-side-
+    combinable aggregate shipping K x (DIM+1) partials; the only driver
+    state is the K-row centroid model (``floor(S_i / m)``, exact in
+    both engines)."""
+    for _ in range(iters - 1):
+        asg = _assign(q, cents)
+        sums = asg.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("m"),
+            *[F.sum(f"q{i}").alias(f"s{i}") for i in range(DIM)],
+        ).collect()
+        upd = {
+            int(r["cell"]): [
+                math.floor(int(r[f"s{i}"]) / int(r["m"])) for i in range(DIM)
+            ]
+            for r in sums
+        }
+        # empty cells keep their previous centroid (standard Lloyd)
+        cents = [upd.get(j, cents[j]) for j in range(len(cents))]
+    return cents
+
+
+def lloyd_cents_sql(kc: int, iters: int) -> tuple[str, str]:
+    """DuckDB CTE chain mirroring :func:`seed_cents` + :func:`lloyd_train`
+    over a prior CTE ``q(vec_id, qv)``: seeds = the ``kc`` smallest
+    vec_ids, then ``iters - 1`` assign/update rounds (argmin ties break
+    to the smaller cell; update = floor(sum/count), empty cells keep
+    their centroid).  Returns ``(sql_fragment, final_cte_name)`` where
+    the final CTE has columns (cell, cv)."""
+    parts = [
+        f"""
+, c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cv
+  FROM q ORDER BY vec_id LIMIT {kc}
+)"""
+    ]
+    for t in range(1, iters):
+        parts.append(
+            f"""
+, a{t} AS (
+  SELECT vec_id, qv, cell FROM (
+    SELECT q.vec_id, q.qv, c.cell,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {dist_sql("q.qv", "c.cv")} ASC, c.cell) AS rn
+    FROM q, c{t - 1} c
+  ) WHERE rn = 1
+), u{t} AS (
+  SELECT cell, i,
+         CAST(floor((sum(qv[i]))::DOUBLE / count(*)) AS BIGINT) AS c
+  FROM a{t}, (SELECT unnest(generate_series(1, {DIM})) AS i)
+  GROUP BY cell, i
+), g{t} AS (
+  SELECT cell, list(c ORDER BY i) AS cv FROM u{t} GROUP BY cell
+), c{t} AS (
+  SELECT p.cell, coalesce(g.cv, p.cv) AS cv
+  FROM c{t - 1} p LEFT JOIN g{t} g USING (cell)
+)"""
+        )
+    return "".join(parts), f"c{iters - 1}"
 
 _KMEANS_SQL = f"""
 WITH e AS (
@@ -124,36 +219,14 @@ def kmeans_lloyd_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    q = e.select(
-        "vec_id",
-        *[
-            F.expr(f"CAST(floor(v[{i}]*{SCALE}D + 0.5D) AS BIGINT)").alias(f"q{i}")
-            for i in range(DIM)
-        ],
-    ).persist()
+    q = quantize(e).persist()
 
-    seed_rows = q.orderBy("vec_id").limit(K).collect()
-    if not seed_rows:
+    cents = seed_cents(q, K)
+    if not cents:
         return q.select(
             "vec_id",
             F.lit(0).cast("long").alias("cell"),
             F.lit(0).cast("long").alias("dist2"),
         )
-    cents = [[int(r[f"q{i}"]) for i in range(DIM)] for r in seed_rows]
-
-    for _ in range(ITERS - 1):
-        asg = _assign(q, cents)
-        sums = asg.groupBy("cell").agg(
-            F.count(F.lit(1)).alias("m"),
-            *[F.sum(f"q{i}").alias(f"s{i}") for i in range(DIM)],
-        ).collect()
-        upd = {
-            int(r["cell"]): [
-                math.floor(int(r[f"s{i}"]) / int(r["m"])) for i in range(DIM)
-            ]
-            for r in sums
-        }
-        # empty cells keep their previous centroid (standard Lloyd)
-        cents = [upd.get(j, cents[j]) for j in range(len(cents))]
-
+    cents = lloyd_train(q, cents, ITERS)
     return _assign(q, cents).select("vec_id", "cell", "dist2")
