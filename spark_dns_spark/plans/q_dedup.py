@@ -8,7 +8,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_dns_spark.functions.dnsfn import portable_hash32_sql, portable_hash60
+from spark_dns_spark.functions.dnsfn import (
+    portable_hash32_sql,
+    portable_hash60,
+    portable_hash60_sql,
+)
 from spark_dns_spark.operators import dedup as dd
 from spark_dns_spark.plans.catalog import register
 from spark_dns_spark.session import load_table, spread
@@ -483,3 +487,158 @@ def snm_ranked_pairs(spark: SparkSession, sf_dir: str):
 def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, pairs = snm_ranked_pairs(spark, sf_dir)
     return pairs.select("doc_a", "doc_b", "rank_gap", "jaccard_x1000")
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (span) dedup — the Lee et al. 2022 "Deduplicating
+# Training Data Makes Language Models Better" family: find every
+# W-token span whose exact text occurs earlier in the corpus (global
+# first occurrence keeps it; position order = (doc_id, pos)), merge
+# overlapping/adjacent duplicate spans per doc into maximal removed
+# regions (the sweep-line islands idiom shared with
+# dedup_snm_span_clusters), and account removal per document.
+#
+# Scale shape: the corpus text never shuffles — the W-gram is hashed
+# map-side to a 60-bit key, so the first-occurrence ranking shuffles
+# only (h, doc_id, pos) 24-byte rows (O(corpus tokens)); the island
+# merge shuffles the per-doc duplicate spans (skinny ints).  At 100 TB
+# this is one hash-keyed exchange + one doc-keyed exchange, no
+# self-join of documents.  A 2^-60 hash collision would mark a span
+# duplicate spuriously; at n = 10^12 shingles the expected collision
+# count is ~0.4 — the same md5-keyed trade every family here makes.
+
+W_SUB = 10  #: span width in whitespace tokens (docs are 10..100 tokens)
+
+_SUBSTR_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+), sh AS (
+  SELECT doc_id, i AS pos,
+         {portable_hash60_sql(f"list_aggregate(arr[i:i+{W_SUB}-1], 'string_agg', ' ')")} AS h
+  FROM w, LATERAL unnest(generate_series(1, len(arr) - {W_SUB} + 1)) s(i)
+), occ AS (
+  SELECT doc_id, pos, pos + {W_SUB} - 1 AS fin,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM sh
+), dup AS (
+  SELECT doc_id, pos, fin FROM occ WHERE rn > 1
+), isl AS (
+  SELECT doc_id, pos, fin,
+         sum(CASE WHEN prev_fin IS NULL OR pos > prev_fin + 1
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM (
+    SELECT doc_id, pos, fin,
+           max(fin) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_fin
+    FROM dup
+  )
+), reg AS (
+  SELECT doc_id, island, min(pos) AS rs, max(fin) AS re
+  FROM isl GROUP BY doc_id, island
+), acct AS (
+  SELECT doc_id, count(*) AS dup_regions, sum(re - rs + 1) AS dup_tokens
+  FROM reg GROUP BY doc_id
+)
+SELECT d.doc_id,
+       len(string_split(d.text, ' '))::BIGINT AS n_tokens,
+       coalesce(a.dup_regions, 0)::BIGINT AS dup_regions,
+       coalesce(a.dup_tokens, 0)::BIGINT AS dup_tokens,
+       (len(string_split(d.text, ' ')) - coalesce(a.dup_tokens, 0))::BIGINT
+         AS keep_tokens
+FROM documents d LEFT JOIN acct a USING (doc_id)
+"""
+
+
+@register(
+    "dedup_exact_substring",
+    _SUBSTR_SQL,
+    doc=f"exact-substring span dedup (Lee et al. 2022 style): every "
+    f"{W_SUB}-token span hashed map-side to a 60-bit key, global "
+    "first occurrence (doc_id, pos) kept, later occurrences merged "
+    "into maximal per-doc removal regions via sweep-line islands; "
+    "per-doc accounting (regions, removed tokens, kept tokens) — the "
+    "one major public dedup family the repo lacked (VERDICT-r6 item 4)",
+    tags=("dedup", "text", "window"),
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    arr = docs.select(
+        "doc_id", F.split("text", " ").alias("arr")
+    ).persist()
+    # NB: F.sequence(1, n) DESCENDS when n < 1 — guard short docs out
+    # before building shingle positions.
+    sh = (
+        arr.filter(F.size("arr") >= W_SUB)
+        .select(
+            "doc_id",
+            "arr",
+            F.explode(
+                F.sequence(F.lit(1), F.size("arr") - F.lit(W_SUB - 1))
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            portable_hash60(
+                F.array_join(F.slice("arr", F.col("pos"), W_SUB), " ")
+            ).alias("h"),
+        )
+    )
+    wh = Window.partitionBy("h").orderBy("doc_id", "pos")
+    dup = (
+        sh.withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "pos", (F.col("pos") + W_SUB - 1).alias("fin"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        dup.withColumn(
+            "prev_fin",
+            F.max("fin").over(wd.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "new_i",
+            F.when(
+                F.col("prev_fin").isNull()
+                | (F.col("pos") > F.col("prev_fin") + 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_i").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    acct = (
+        isl.groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("rs"), F.max("fin").alias("re"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("dup_regions"),
+            F.sum(F.col("re") - F.col("rs") + 1).alias("dup_tokens"),
+        )
+    )
+    return (
+        arr.select("doc_id", F.size("arr").cast("long").alias("n_tokens"))
+        .join(acct, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_regions", F.lit(0)).cast("long").alias(
+                "dup_regions"
+            ),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias(
+                "dup_tokens"
+            ),
+            (
+                F.col("n_tokens") - F.coalesce("dup_tokens", F.lit(0))
+            ).cast("long").alias("keep_tokens"),
+        )
+    )
