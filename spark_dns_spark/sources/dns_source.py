@@ -220,6 +220,40 @@ class DnsStreamReader(DataSourceStreamReader):
             or os.path.join(self.opts.store, ".progress"),
             self.opts.max_kept_commits,
         )
+        # admission-control clock: the last offsets handed to the
+        # engine (lazily seeded from initialOffset so restart recovery
+        # and the `serial` option apply identically)
+        self._clock: dict[str, int] | None = None
+
+    # -- admission clock persistence ----------------------------------
+    # Spark never tells latestOffset() where the last batch ended (the
+    # Python API passes no start offset), and commit() for a run's
+    # FINAL batch only fires when a NEXT batch starts — so a capped
+    # source restarted via checkpoints would re-admit from a stale
+    # position and plan no new batch, forever.  The clock therefore
+    # persists itself beside the progress log ("admission.json"; the
+    # progress id listing skips non-digit names).  It is an upper-bound
+    # HINT, not a commitment: after a crash between admit and process,
+    # the next run admits (old admitted)+cap — a one-off larger batch,
+    # the same best-effort class as kafka's maxOffsetsPerTrigger.
+
+    def _admission_path(self) -> str:
+        return os.path.join(self.progress.path, "admission.json")
+
+    def _seed_clock(self) -> dict[str, int]:
+        clock = {z: int(s) for z, s in self.initialOffset().items()}
+        try:
+            with open(self._admission_path()) as f:
+                for z, s in json.load(f).items():
+                    clock[z] = max(clock.get(z, 0), int(s))
+        except (OSError, ValueError):
+            pass  # first run / no admission state yet
+        return clock
+
+    def _save_clock(self) -> None:
+        os.makedirs(self.progress.path, exist_ok=True)
+        with open(self._admission_path(), "w") as f:
+            json.dump(self._clock, f)
 
     def _zones(self) -> list[str]:
         return self.opts.zones or make_transport(self.opts).zones()
@@ -235,14 +269,31 @@ class DnsStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         # Real end-of-data offsets (any transport serves a serial poll:
         # file store reads the zone file, wire sends a SOA query).
+        # With max-changes-per-batch set (kafka maxOffsetsPerTrigger
+        # analog), the offset handed to the engine advances at most
+        # `cap` serials per zone past the previous batch's end, so a
+        # huge IXFR backlog drains across micro-batches instead of
+        # landing in one giant batch; the transfer itself is
+        # serial-bounded by to_serial, and progress/commit semantics
+        # are unchanged (exactly-once across the split batches).
         transport = make_transport(self.opts)
+        cap = self.opts.max_changes_per_batch
+        if cap and self._clock is None:
+            self._clock = self._seed_clock()
         out = {}
         for z in self._zones():
             try:
-                out[z] = transport.serial(z)
+                target = int(transport.serial(z))
             except ZoneNotFoundError:
                 if not self.opts.ignore_failures:
                     raise
+                continue
+            if cap:
+                target = min(target, int(self._clock.get(z, 0)) + cap)
+            out[z] = target
+        if cap:
+            self._clock = {**self._clock, **out}
+            self._save_clock()
         return out
 
     def partitions(self, start: dict, end: dict):

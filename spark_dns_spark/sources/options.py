@@ -71,6 +71,12 @@ class DnsSourceOptions(DnsOptions):
     ignore_failures: bool = False
     fail_zones: list[str] = field(default_factory=list)  # test fault injection
     max_kept_commits: int = 10  # streaming progress retention (O2)
+    #: Streaming admission control (kafka ``maxOffsetsPerTrigger``
+    #: analog; the reference has no equivalent — a zone with a huge
+    #: IXFR backlog lands in ONE giant micro-batch there): cap the
+    #: per-zone serial advance of each micro-batch so a backlog drains
+    #: across triggers.  0 = unlimited (reference behavior).
+    max_changes_per_batch: int = 0
     #: 'store' (file-backed simulator, default) or 'wire' (dnspython
     #: against a live server — transport.py; needs dnspython installed).
     transport: str = "store"
@@ -104,6 +110,11 @@ class DnsSourceOptions(DnsOptions):
         kept = int(_get(options, "max-kept-commits", 10))
         if kept <= 0:
             raise OptionError(f"invalid max-kept-commits: {kept}")
+        max_changes = int(_get(options, "max-changes-per-batch", 0))
+        if max_changes < 0:
+            raise OptionError(
+                f"invalid max-changes-per-batch: {max_changes}"
+            )
         return cls(
             store=base.store,
             port=base.port,
@@ -115,5 +126,6 @@ class DnsSourceOptions(DnsOptions):
             ignore_failures=ignore,
             fail_zones=fail_zones,
             max_kept_commits=kept,
+            max_changes_per_batch=max_changes,
             transport=transport,
         )

@@ -178,6 +178,13 @@ def test_option_validation_errors(spark, store):
     assert o.xfr == "axfr" and o.zones == ["a.", "b.", "c."]
     # ignore-failures effective default false (quirk, SURVEY §2.8)
     assert DnsSourceOptions.parse({"store": "/x"}).ignore_failures is False
+    # admission control: default unlimited, negative rejected
+    assert DnsSourceOptions.parse({"store": "/x"}).max_changes_per_batch == 0
+    assert DnsSourceOptions.parse(
+        {"store": "/x", "max-changes-per-batch": "7"}
+    ).max_changes_per_batch == 7
+    with pytest.raises(OptionError):
+        DnsSourceOptions.parse({"store": "/x", "max-changes-per-batch": "-1"})
 
 
 def test_non_a_records_filtered_at_transfer(store):
