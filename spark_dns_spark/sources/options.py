@@ -46,7 +46,15 @@ class DnsOptions:
     def parse(cls, options: dict) -> "DnsOptions":
         store = _get(options, "store") or _get(options, "server")
         if not store:
-            raise OptionError("missing required option: store")
+            raise OptionError(
+                "missing required option: store. NB if this table was "
+                "created with a persistent CREATE TABLE ... USING dns: "
+                "Spark's Python Data Source catalog integration does not "
+                "round-trip table OPTIONS to the reader (observed on "
+                "Spark 4.1: the catalog stores the schema but forwards "
+                "empty options) — use CREATE TEMPORARY VIEW ... USING "
+                "dns OPTIONS (...) or spark.read.format('dns') instead"
+            )
         port = int(_get(options, "port", 53))
         if not (1 <= port < (2 << 16) - 1):  # quirk: 131071, not 65536
             raise OptionError(f"invalid port: {port}")

@@ -222,3 +222,29 @@ def test_timeout_fail_and_suppress_matrix(spark, store):
                  timeout="60").count() == 3
     assert _read(spark, store, zones="example.acme.,another.zone.",
                  xfr="axfr", ignore_failures="true").count() == 5
+
+
+def test_persistent_table_options_limitation(spark, store):
+    """Reference SQL tests use persistent CREATE TABLE ... USING dns
+    (DnsSourceRelationProviderTest.java:228-241).  On Spark 4's Python
+    Data Source API the catalog stores the schema but forwards EMPTY
+    options to the reader, so the first read fails — pin that failure
+    mode to a clear, documented error (README 'SQL surface') instead of
+    letting it drift silently."""
+    from pyspark.errors import AnalysisException
+
+    register_all(spark)
+    spark.sql("DROP TABLE IF EXISTS dns_persistent_probe")
+    spark.sql(
+        "CREATE TABLE dns_persistent_probe USING dns "
+        f"OPTIONS (store '{store.root}', zones 'example.acme.')"
+    )
+    try:
+        # schema DID survive the catalog round-trip
+        cols = [f.name for f in spark.table("dns_persistent_probe").schema]
+        assert cols == ["action", "fqdn", "ip", "organization",
+                        "timestamp", "zone"]
+        with pytest.raises(AnalysisException, match="missing required option: store"):
+            spark.sql("SELECT * FROM dns_persistent_probe").collect()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dns_persistent_probe")
