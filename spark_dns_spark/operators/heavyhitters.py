@@ -88,13 +88,24 @@ def exact_heavy_hitters(
     k: int = DEFAULT_K,
 ) -> DataFrame:
     """All keys with exact frequency > n/``threshold_div`` plus their
-    integer ppm share.  ``k`` must exceed ``threshold_div``."""
+    integer ppm share.  ``k`` must exceed ``threshold_div``.
+
+    Key domain contract (ADVICE r6): the key is CAST TO STRING at
+    entry, so the sketch (whose pandas index is stringly-typed) and
+    the exact verify join always agree — a float/decimal key can't be
+    silently dropped by an implicit cast mismatch.  NULL keys are
+    excluded up front (pandas ``value_counts`` never counts them, so
+    they could never be reported anyway); ``n`` therefore counts
+    non-null keys and the output is exact over the non-null domain.
+    """
     if k <= threshold_div:
         raise ValueError(
             f"MG counters k={k} must exceed threshold divisor "
             f"{threshold_div} for the candidate-superset guarantee"
         )
-    stream = df.select(key.alias("hh_key"))
+    stream = df.select(key.cast("string").alias("hh_key")).filter(
+        F.col("hh_key").isNotNull()
+    )
     cand = candidates(stream, "hh_key", k).select("hh_key").distinct()
     exact = (
         stream.join(F.broadcast(cand), "hh_key")

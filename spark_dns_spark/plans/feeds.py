@@ -14,10 +14,56 @@ Some fqdns deliberately lack the trailing dot to exercise F6.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp whose tree is reclaimed at interpreter exit — plan
+    builders run many times per process (bench/oracle loops), so
+    leaked source copies + checkpoints add up (ADVICE r6)."""
+    root = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
+
+
+@contextmanager
+def legacy_parquet_nanos(spark: SparkSession):
+    """Scoped ``spark.sql.legacy.parquet.nanosAsLong=true`` (needed
+    only while planning a read of the pre-r5 nanos-typed events
+    parquet); restores the prior value so the shared session config is
+    not permanently mutated for later plans (ADVICE r6)."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def await_or_fail(q, seconds: int) -> None:
+    """availableNow queries must FINISH; a timeout means the output
+    directory is partial — fail loudly instead of returning wrong
+    aggregates from it (ADVICE r6)."""
+    if not q.awaitTermination(seconds):
+        q.stop()
+        raise RuntimeError(
+            f"streaming query {q.name or q.id} did not finish within "
+            f"{seconds}s; refusing to read a partial output"
+        )
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

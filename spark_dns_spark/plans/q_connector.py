@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from spark_dns_spark.functions.dnsfn import fqdn_normalize, zone_from_fqdn
 from spark_dns_spark.plans.catalog import register
-from spark_dns_spark.plans.feeds import DNS_CHANGES_CTE, dns_changes
+from spark_dns_spark.plans.feeds import DNS_CHANGES_CTE, await_or_fail, dns_changes
 
 _SCRATCH = Path(__file__).resolve().parent.parent.parent / ".scratch" / "zonestores"
 
@@ -256,5 +256,5 @@ def dns_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_fail(q, 300)
     return spark.read.parquet(out).select("action", "fqdn", "ip", "zone")

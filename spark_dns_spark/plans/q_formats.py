@@ -9,13 +9,12 @@ value-exact (including double text-serialization round-trips).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_dns_spark.plans.catalog import register
-from spark_dns_spark.plans.feeds import load_events
+from spark_dns_spark.plans.feeds import load_events, scratch_dir
 
 _AGG_SQL = """
 SELECT event_type, count(*) AS n,
@@ -29,7 +28,7 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     ev = load_events(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "value"
     )
-    out = tempfile.mkdtemp(prefix=f"fmt_{fmt}_")
+    out = scratch_dir(f"fmt_{fmt}_")
     path = os.path.join(out, "data")
     writer = ev.write.mode("overwrite")
     if fmt == "csv":

@@ -168,13 +168,17 @@ WHERE rn > 1
 )
 def sessionize_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from spark_dns_spark.streaming.stateful import sessionize_stream
 
-    from spark_dns_spark.plans.feeds import normalize_ts
+    from spark_dns_spark.plans.feeds import (
+        await_or_fail,
+        legacy_parquet_nanos,
+        normalize_ts,
+        scratch_dir,
+    )
 
-    out_root = tempfile.mkdtemp(prefix="sessionize_stream_")
+    out_root = scratch_dir("sessionize_stream_")
     # the streaming file source wants a directory; stage the single
     # events file behind a symlink
     src_dir = os.path.join(out_root, "src")
@@ -188,21 +192,21 @@ def sessionize_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feed — so a regenerated-testdata type shift (nanos → micros →
     # NTZ) can never desynchronize this path again (r5: a hard-coded
     # `ts long` schema read the micros-typed rewrite as zero rows).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    physical = spark.read.parquet(src_dir).schema
-    src = normalize_ts(
-        spark.readStream.schema(physical).parquet(src_dir)
-    ).select("ts", "user_id", "value")
     out = os.path.join(out_root, "out")
-    q = (
-        sessionize_stream(src, gap_min=GAP_MIN)
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", os.path.join(out_root, ".ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with legacy_parquet_nanos(spark):
+        physical = spark.read.parquet(src_dir).schema
+        src = normalize_ts(
+            spark.readStream.schema(physical).parquet(src_dir)
+        ).select("ts", "user_id", "value")
+        q = (
+            sessionize_stream(src, gap_min=GAP_MIN)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(out_root, ".ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_fail(q, 300)
     df = spark.read.parquet(out)
     return df.withColumn("sum_value", F.round("sum_value", 3))
 

@@ -21,14 +21,18 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_dns_spark.functions.dnsfn import epoch_micros
 from spark_dns_spark.plans.catalog import register
-from spark_dns_spark.plans.feeds import normalize_ts
+from spark_dns_spark.plans.feeds import (
+    await_or_fail as _await_or_fail,
+    legacy_parquet_nanos as _legacy_parquet_nanos,
+    normalize_ts,
+    scratch_dir as _scratch,
+)
 
 
 @register(
@@ -49,7 +53,7 @@ FROM events GROUP BY event_type
     tags=("streaming", "dedup", "exactly-once"),
 )
 def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    root = tempfile.mkdtemp(prefix="stream_dedup_replay_")
+    root = _scratch("stream_dedup_replay_")
     src_dir = os.path.join(root, "src")
     os.makedirs(src_dir)
     # two COPIES (not symlinks — their mtimes must differ without
@@ -64,24 +68,24 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.utime(first, (base - 10, base - 10))
     os.utime(replay, (base, base))
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    physical = spark.read.parquet(src_dir).schema
-    src = normalize_ts(
-        spark.readStream.schema(physical)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src_dir)
-    )
     out = os.path.join(root, "out")
-    q = (
-        src.withWatermark("ts", "3650 days")  # keep all dedup state live
-        .dropDuplicates(["event_id"])
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", os.path.join(root, ".ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _legacy_parquet_nanos(spark):
+        physical = spark.read.parquet(src_dir).schema
+        src = normalize_ts(
+            spark.readStream.schema(physical)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        q = (
+            src.withWatermark("ts", "3650 days")  # keep all dedup state live
+            .dropDuplicates(["event_id"])
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(root, ".ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_fail(q, 300)
 
     got = spark.read.parquet(out)
     return got.groupBy("event_type").agg(
@@ -128,30 +132,35 @@ GROUP BY v.user_id
 def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import DataFrame as _DF
 
-    root = tempfile.mkdtemp(prefix="stream_attr_")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = normalize_ts(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
+    root = _scratch("stream_attr_")
 
     def stage(name: str, df: _DF) -> str:
         d = os.path.join(root, name)
         df.coalesce(1).write.parquet(d)
         return d
 
-    v_dir = stage(
-        "views",
-        batch.filter(F.col("event_type") == "view").select(
-            "user_id", F.col("event_id").alias("view_id"),
-            F.col("ts").alias("view_ts"),
-        ),
-    )
-    c_dir = stage(
-        "clicks",
-        batch.filter(F.col("event_type") == "click").select(
-            F.col("user_id").alias("c_user_id"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_ts"),
-        ),
-    )
+    # the legacy-nanos conf is only needed while READING the testdata
+    # events parquet; the staged copies are written with plain types,
+    # so the scope ends once staging completes
+    with _legacy_parquet_nanos(spark):
+        batch = normalize_ts(
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        )
+        v_dir = stage(
+            "views",
+            batch.filter(F.col("event_type") == "view").select(
+                "user_id", F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"),
+            ),
+        )
+        c_dir = stage(
+            "clicks",
+            batch.filter(F.col("event_type") == "click").select(
+                F.col("user_id").alias("c_user_id"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            ),
+        )
 
     views = (
         spark.readStream.schema(spark.read.parquet(v_dir).schema)
@@ -179,7 +188,7 @@ def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_fail(q, 300)
 
     got = spark.read.parquet(out)
     gap_ms = (

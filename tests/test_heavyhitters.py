@@ -86,3 +86,25 @@ def test_exact_hh_rejects_k_below_threshold(spark, sf_dir):
     ev = load_events(spark, sf_dir).select("event_id")
     with pytest.raises(ValueError):
         hh.exact_heavy_hitters(ev, F.col("event_id").cast("string"), 100, k=50)
+
+
+def test_exact_hh_nonstring_and_null_keys(spark):
+    """ADVICE r6: the operator casts arbitrary-typed keys to string
+    (sketch and verify share one domain — no implicit-cast candidate
+    loss for float keys) and excludes NULL keys explicitly; n counts
+    the non-null domain."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        [(1.5,)] * 60
+        + [(2.25,)] * 30
+        + [(None,)] * 40
+        + [(float(i),) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "k double")
+    out = hh.exact_heavy_hitters(df, F.col("k"), threshold_div=4, k=64)
+    got = {r["hh_key"]: r["freq"] for r in out.collect()}
+    # n = 100 non-null; freq > 25 ⇒ only 1.5 (60) and 2.25 (30) qualify
+    assert got == {"1.5": 60, "2.25": 30}
+    ppm = {r["hh_key"]: r["freq_ppm"] for r in out.collect()}
+    assert ppm == {"1.5": 600000, "2.25": 300000}
