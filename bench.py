@@ -85,6 +85,10 @@ HEADLINE = [
     "events_quantile_normalize",
     "dedup_snm_span_clusters",
     "events_cusum_drift",
+    # round-7 tier (50 -> 52; BASELINE.md: cross-round totals compare
+    # the 27/31/38/44/49/50-query prefixes)
+    "dedup_exact_substring",
+    "vocab_bpe_apply",
 ]
 
 
@@ -174,7 +178,7 @@ def main() -> None:
         names = [q for q in HEADLINE[:n] if q in d]
         return round(sum(d[q] for q in names), 3)
 
-    bounds = [27, 31, 38, 44, 49, len(HEADLINE)]
+    bounds = [27, 31, 38, 44, 49, 50, len(HEADLINE)]
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     )

@@ -285,6 +285,30 @@ _ROTATION_R6: dict[str, int] = {
     "format_orc_roundtrip": 6,
 }
 
+#: Round-7 rotation, layered over r4+r6 (later map wins).  Policy
+#: unchanged: new/changed queries enter the window (the two r7-new
+#: queries — vocab_bpe_apply, dedup_exact_substring — enter at the
+#: tier-5 default); green untouched shapes with an in-window family
+#: representative leave to hold tier 5 at 50.
+_ROTATION_R7: dict[str, int] = {
+    # rotate IN — CHANGED r7: the IVF index was rebuilt on k-means
+    # coarse cells + multi-assignment (recall 0.56 -> 0.84+), so the
+    # plan itself re-enters the window next to its recall gate
+    # (similarity_ivf_recall, already in-window, composes the same
+    # _ivf_topk).
+    "similarity_topk_ivf": 5,
+    # rotate OUT — green, untouched r7, family reps remain in-window:
+    # tpch_q15 (scalar-max row selection; q4/q13/q18/q22 carry the
+    # TPC-H subquery family), events_value_histogram (the equi-width
+    # twin of in-window events_equidepth_quartiles), and
+    # multimodal_frame_sample (multimodal_resize_nn keeps the Arrow
+    # mapInPandas quartet in-window).  All stay under the full-catalog
+    # oracle gate every round.
+    "tpch_q15_top_supplier": 6,
+    "events_value_histogram": 6,
+    "multimodal_frame_sample": 6,
+}
+
 
 def register(
     name: str,
@@ -357,7 +381,7 @@ def catalog() -> dict[str, Query]:
     )
 
     order = {n: i for i, n in enumerate(_REGISTRY)}
-    rotation = {**_ROTATION_R4, **_ROTATION_R6}
+    rotation = {**_ROTATION_R4, **_ROTATION_R6, **_ROTATION_R7}
     for q in _REGISTRY.values():
         q.tier = rotation.get(q.name, q.tier)
     return {
