@@ -307,6 +307,12 @@ _ROTATION_R7: dict[str, int] = {
     "tpch_q15_top_supplier": 6,
     "events_value_histogram": 6,
     "multimodal_frame_sample": 6,
+    # rotate IN — NEW: dedup_substring_clean (tier-5 default; the
+    # apply side of dedup_exact_substring, which stays in-window as
+    # the family's accounting twin); out: lineitem_unpivot_metrics
+    # (r6-win green mechanical reshape; the pivot/unpivot family sits
+    # under the full-catalog gate like the pivot/cube shapes before it).
+    "lineitem_unpivot_metrics": 6,
 }
 
 

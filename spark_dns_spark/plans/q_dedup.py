@@ -642,3 +642,133 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("keep_tokens"),
         )
     )
+
+
+_SUBSTR_CLEAN_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+), sh AS (
+  SELECT doc_id, i AS pos,
+         {portable_hash60_sql(f"list_aggregate(arr[i:i+{W_SUB}-1], 'string_agg', ' ')")} AS h
+  FROM w, LATERAL unnest(generate_series(1, len(arr) - {W_SUB} + 1)) s(i)
+), occ AS (
+  SELECT doc_id, pos, pos + {W_SUB} - 1 AS fin,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM sh
+), dup AS (
+  SELECT doc_id, pos, fin FROM occ WHERE rn > 1
+), cov AS (
+  SELECT doc_id, pos, fin,
+         max(fin) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_fin
+  FROM dup
+), tok AS (
+  SELECT doc_id, i AS pos, string_split(text, ' ')[i] AS word
+  FROM documents,
+       LATERAL unnest(generate_series(1, len(string_split(text, ' ')))) s(i)
+), removed AS (
+  SELECT DISTINCT t.doc_id, t.pos
+  FROM tok t JOIN dup d
+    ON d.doc_id = t.doc_id AND t.pos BETWEEN d.pos AND d.fin
+), kept AS (
+  SELECT t.doc_id, t.pos, t.word
+  FROM tok t LEFT JOIN removed r ON r.doc_id = t.doc_id AND r.pos = t.pos
+  WHERE r.pos IS NULL
+)
+SELECT d.doc_id,
+       coalesce(k.clean_text, '') AS clean_text,
+       coalesce(k.n_kept, 0)::BIGINT AS n_kept
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
+"""
+
+
+@register(
+    "dedup_substring_clean",
+    _SUBSTR_CLEAN_SQL,
+    doc=f"exact-substring dedup APPLY side: rewrite each document with "
+    f"its duplicate {W_SUB}-token spans removed (keep-first-occurrence "
+    "semantics shared with dedup_exact_substring), emitting the "
+    "cleaned text + kept-token count for every doc — the transform a "
+    "training pipeline actually ships, not just the accounting.  The "
+    "span->token expansion joins per-doc (skinny int ranges); text "
+    "tokens only move in the per-doc reassembly shuffle",
+    tags=("dedup", "text", "window"),
+)
+def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    arr = docs.select("doc_id", F.split("text", " ").alias("arr")).persist()
+    sh = (
+        arr.filter(F.size("arr") >= W_SUB)
+        .select(
+            "doc_id",
+            "arr",
+            F.explode(
+                F.sequence(F.lit(1), F.size("arr") - F.lit(W_SUB - 1))
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            portable_hash60(
+                F.array_join(F.slice("arr", F.col("pos"), W_SUB), " ")
+            ).alias("h"),
+        )
+    )
+    wh = Window.partitionBy("h").orderBy("doc_id", "pos")
+    dup = (
+        sh.withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") > 1)
+        .select(
+            F.col("doc_id").alias("d_doc"),
+            F.col("pos").alias("d_pos"),
+            (F.col("pos") + W_SUB - 1).alias("d_fin"),
+        )
+    )
+    tok = arr.select(
+        "doc_id", F.posexplode("arr").alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    removed = (
+        tok.select("doc_id", "pos")
+        .join(
+            dup,
+            (F.col("d_doc") == F.col("doc_id"))
+            & F.col("pos").between(F.col("d_pos"), F.col("d_fin")),
+        )
+        .select("doc_id", "pos")
+        .distinct()
+        .withColumn("rm", F.lit(1))
+    )
+    kept = (
+        tok.join(removed, ["doc_id", "pos"], "left")
+        .filter(F.col("rm").isNull())
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    return (
+        arr.select("doc_id")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
