@@ -17,7 +17,10 @@ from tools.check_oracle import TABLES, table_hash
 
 @pytest.fixture(scope="module")
 def duck(sf_dir):
+    from tools.check_oracle import configure_duck
+
     con = duckdb.connect()
+    configure_duck(con)  # bounded memory + spill; see check_oracle.py
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():

@@ -41,6 +41,43 @@ TABLES = (
 )
 
 
+def configure_duck(con) -> None:
+    """Bound the oracle engine so it coexists with the Spark JVM + 32
+    Python workers in one box.  DuckDB's defaults (threads = all
+    cores, memory_limit = 80% of RAM, no temp dir in some envs) make
+    it the process that hits malloc failure when Spark's side of the
+    SAME query spikes RSS — observed in the r7 full-catalog run as
+    'Out of Memory Error: Failed to allocate block' right after the
+    heavy streaming queries.  A modest explicit limit + spill dir
+    turns that into graceful out-of-core execution instead."""
+    import tempfile
+
+    con.execute("SET threads=8")
+    con.execute("SET memory_limit='16GB'")
+    con.execute(
+        f"SET temp_directory='{tempfile.mkdtemp(prefix='duck_spill_')}'"
+    )
+
+
+def run_oracle_resilient(con, sql: str):
+    """Execute an oracle with ONE retry after an out-of-memory error:
+    transient co-tenant pressure (Spark executor RSS peaks) recedes
+    within seconds, and a gc+pause is enough for the retry to see a
+    sane allocator again."""
+    import gc
+    import time
+
+    for attempt in (0, 1):
+        try:
+            return con.execute(sql).df()
+        except Exception as e:  # duckdb.Error and allocator failures
+            if "Out of Memory" in str(e) and attempt == 0:
+                gc.collect()
+                time.sleep(10)
+                continue
+            raise
+
+
 def _norm(v):
     import numpy as np
 
@@ -105,6 +142,7 @@ def run(sf_dir: str, only: list[str], json_out: str | None = None) -> int:
     oracles = entrymod.oracle_sql()
 
     con = duckdb.connect()
+    configure_duck(con)
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
@@ -146,7 +184,7 @@ def run(sf_dir: str, only: list[str], json_out: str | None = None) -> int:
             print(f"ok   {name}: rows-only ({len(srows)} rows, no oracle)")
             continue
         try:
-            dcols, drows = _pandas_rows(con.execute(oracles[name]).df())
+            dcols, drows = _pandas_rows(run_oracle_resilient(con, oracles[name]))
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             rec["err"] = f"duckdb error: {e}"
