@@ -313,6 +313,16 @@ _ROTATION_R7: dict[str, int] = {
     # (r6-win green mechanical reshape; the pivot/unpivot family sits
     # under the full-catalog gate like the pivot/cube shapes before it).
     "lineitem_unpivot_metrics": 6,
+    # rotate IN — NEW: vocab_bpe_fertility, mlprep_leakage_free_split,
+    # mlprep_split_leakage_audit (tier-5 defaults).  Out, all r6-win
+    # green with in-window family reps: dedup_snm_span_clusters (the
+    # bench times it every round regardless; dedup_sorted_neighborhood
+    # + sessions_peak_concurrency carry the SNM/sweep-line family),
+    # batching_length_grouped (pack_tokens_stream carries packing),
+    # ivm_join_delta (ivm_agg_delta stays in-window and benched).
+    "dedup_snm_span_clusters": 6,
+    "batching_length_grouped": 6,
+    "ivm_join_delta": 6,
 }
 
 

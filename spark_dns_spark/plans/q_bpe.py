@@ -252,3 +252,77 @@ def vocab_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("tok_seq"),
     )
+
+
+_FERTILITY_SQL = (
+    _CHAIN_CTES
+    + f"""
+, toks AS (
+  SELECT word, len(string_split(trim(seq), ' ')) AS tok_cnt
+  FROM s{N_MERGES}
+), w AS (
+  SELECT d.source, string_split(d.text, ' ')[i] AS word
+  FROM documents d,
+       LATERAL unnest(generate_series(1, len(string_split(d.text, ' ')))) s(i)
+), j AS (
+  SELECT w.source, w.word, t.tok_cnt
+  FROM w LEFT JOIN toks t USING (word)
+)
+SELECT source,
+       count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN tok_cnt IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_enc,
+       sum(CASE WHEN tok_cnt IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       (sum(CASE WHEN tok_cnt IS NULL THEN 1 ELSE 0 END) * 1000
+          // count(*))::BIGINT AS oov_per_mille,
+       (sum(coalesce(tok_cnt, 0)) * 1000
+          // greatest(sum(CASE WHEN tok_cnt IS NOT NULL THEN 1 ELSE 0 END), 1)
+        )::BIGINT AS fertility_milli
+FROM j GROUP BY source
+"""
+)
+
+
+@register(
+    "vocab_bpe_fertility",
+    _FERTILITY_SQL,
+    doc="tokenizer EVALUATION, closing train -> apply -> evaluate: "
+    "per-source vocabulary coverage (words outside the tokenizer's "
+    "character domain = OOV) and fertility (tokens emitted per "
+    "encodable word, milli-units — the metric tokenizer teams tune "
+    "for).  One broadcast join of the word-type relation onto the "
+    "corpus + one per-source aggregate; all-integer output",
+    tags=("text", "mlprep", "bpe", "metric"),
+)
+def vocab_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, seqs = _train(spark, sf_dir)
+    toks = seqs.select(
+        "word",
+        F.size(F.split(F.trim(F.col("seq")), " ")).cast("long").alias(
+            "tok_cnt"
+        ),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    words = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    j = words.join(F.broadcast(toks), "word", "left")
+    n_enc = F.sum(
+        F.when(F.col("tok_cnt").isNotNull(), 1).otherwise(0)
+    ).cast("long")
+    n_oov = F.sum(
+        F.when(F.col("tok_cnt").isNull(), 1).otherwise(0)
+    ).cast("long")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        n_enc.alias("n_enc"),
+        n_oov.alias("n_oov"),
+        F.expr(
+            "CAST(sum(CASE WHEN tok_cnt IS NULL THEN 1 ELSE 0 END) * 1000 "
+            "div count(*) AS BIGINT)"
+        ).alias("oov_per_mille"),
+        F.expr(
+            "CAST(sum(coalesce(tok_cnt, 0)) * 1000 div "
+            "greatest(sum(CASE WHEN tok_cnt IS NOT NULL THEN 1 ELSE 0 END), 1)"
+            " AS BIGINT)"
+        ).alias("fertility_milli"),
+    )

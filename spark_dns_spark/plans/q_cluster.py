@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_dns_spark.functions.dnsfn import portable_hash32_sql
 from spark_dns_spark.plans.catalog import register
 from spark_dns_spark.plans.q_dedup import MINHASH_LSH_SQL, dedup_minhash_lsh
 
@@ -45,6 +46,11 @@ FROM comp
 
 
 def _edges_and_labels(spark: SparkSession, sf_dir: str):
+    """(edges, labels, pairs) from ONE invocation of the wrapped LSH
+    query.  Callers needing the pair list (the leakage audit) must use
+    THIS pairs DF rather than re-invoking dedup_minhash_lsh: the
+    catalog wrapper releases all caches at entry, which would destroy
+    the localCheckpoint blocks the propagated labels depend on."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b").persist()
     edges = pairs.union(
         pairs.select(F.col("id_b"), F.col("id_a"))
@@ -56,7 +62,7 @@ def _edges_and_labels(spark: SparkSession, sf_dir: str):
         .persist()
     )
     labels.count()
-    return edges, labels
+    return edges, labels, pairs
 
 
 def _with_sizes(labels: DataFrame) -> DataFrame:
@@ -167,7 +173,7 @@ def propagate_labels(
     tags=("dedup", "cluster", "iterative"),
 )
 def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges, labels = _edges_and_labels(spark, sf_dir)
+    edges, labels, _ = _edges_and_labels(spark, sf_dir)
     return _with_sizes(
         propagate_labels(edges, labels, doubling=False, name="dedup_cluster_assign")
     )
@@ -186,7 +192,7 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "cluster", "iterative"),
 )
 def dedup_cluster_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges, labels = _edges_and_labels(spark, sf_dir)
+    edges, labels, _ = _edges_and_labels(spark, sf_dir)
     return _with_sizes(
         propagate_labels(
             edges, labels, doubling=True, name="dedup_cluster_pointer_doubling"
@@ -443,3 +449,150 @@ def dedup_cluster_star_contraction(
     edges.count()
     labels = star_contraction_components(edges)
     return _with_sizes(labels)
+
+
+# ---------------------------------------------------------------------------
+# Leakage-free train/val/test split — the ML-prep step the cluster
+# machinery exists FOR: random per-doc splits leak near-duplicates
+# across train and eval (the val/test twin of a training doc inflates
+# benchmark scores), so the split must be drawn per CLUSTER, with every
+# member of a near-dup component landing in the same split.  Docs with
+# no near-dup pair are singleton clusters keyed by their own doc_id.
+# The assignment hash is the repo's portable md5 domain, so the split
+# is deterministic, engine-independent, and stable across reruns —
+# adding documents never reshuffles existing assignments (the property
+# that makes incremental corpus refreshes possible).
+
+_SPLIT_CTES = f"""
+WITH RECURSIVE pairs AS (
+{MINHASH_LSH_SQL}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(src, dst) AS (
+  SELECT DISTINCT src, src AS dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+), assigned AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+), split_of AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN b <= 7 THEN 'train'
+              WHEN b = 8 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, cluster_id,
+           {portable_hash32_sql("'split|' || cluster_id")} % 10 AS b
+    FROM assigned
+  )
+)
+"""
+
+
+@register(
+    "mlprep_leakage_free_split",
+    _SPLIT_CTES + "SELECT doc_id, cluster_id, split FROM split_of",
+    doc="leakage-free 80/10/10 train/val/test split: the split is drawn "
+    "per near-dup CLUSTER (md5 of the component's min doc_id), so "
+    "every member of a duplicate component lands in the same split and "
+    "no training doc has an eval twin; singleton docs hash their own "
+    "id.  Deterministic and stable under corpus growth — new docs "
+    "never reshuffle existing assignments",
+    tags=("mlprep", "dedup", "cluster"),
+)
+def mlprep_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    split, _ = _split_assign(spark, sf_dir)
+    return split
+
+
+def _split_assign(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(split assignment, near-dup pairs) — pairs shared from the one
+    LSH invocation (see _edges_and_labels cache-lifetime note)."""
+    from spark_dns_spark.functions.dnsfn import portable_hash32
+    from spark_dns_spark.session import load_table
+
+    edges, labels, pairs = _edges_and_labels(spark, sf_dir)
+    comp = propagate_labels(
+        edges, labels, doubling=False, name="mlprep_leakage_free_split"
+    ).select("doc_id", F.col("label").alias("cluster_id"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    assigned = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
+    b = (
+        portable_hash32(
+            F.concat(F.lit("split|"), F.col("cluster_id").cast("string"))
+        )
+        % 10
+    )
+    split = assigned.select(
+        "doc_id",
+        "cluster_id",
+        F.when(b <= 7, "train").when(b == 8, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    return split, pairs
+
+
+@register(
+    "mlprep_split_leakage_audit",
+    _SPLIT_CTES
+    + """
+, sizes AS (
+  SELECT split, count(*)::BIGINT AS n_docs,
+         count(DISTINCT cluster_id)::BIGINT AS n_clusters
+  FROM split_of GROUP BY split
+), leaks AS (
+  SELECT count(*)::BIGINT AS n
+  FROM pairs p
+  JOIN split_of a ON a.doc_id = p.id_a
+  JOIN split_of b ON b.doc_id = p.id_b
+  WHERE a.split <> b.split
+)
+SELECT s.split, s.n_docs, s.n_clusters,
+       (SELECT n FROM leaks) AS cross_split_pairs
+FROM sizes s
+""",
+    doc="the audit every split procedure should ship with: per-split "
+    "doc + cluster counts AND the number of near-dup pairs that cross "
+    "splits — 0 by construction here, and the oracle PROVES it rather "
+    "than asserting it (a random per-doc split would score hundreds)",
+    tags=("mlprep", "dedup", "metric"),
+)
+def mlprep_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    split, pairs = _split_assign(spark, sf_dir)
+    split = split.persist()
+    leaks = (
+        pairs.join(
+            split.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            split.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("sb")
+            ),
+            "id_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sizes = split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )
+    return sizes.crossJoin(F.broadcast(leaks)).select(
+        "split",
+        "n_docs",
+        "n_clusters",
+        F.col("n").alias("cross_split_pairs"),
+    )

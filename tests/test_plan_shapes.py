@@ -38,6 +38,9 @@ BNLJ_WHITELIST = {
     # 1-row order total cross-joined onto the pair-support dim for the
     # integer lift — same single-row-broadcast class
     "basket_copurchase_lift",
+    # 1-row cross-split leak count cross-joined onto the 3-row split
+    # sizes dim — same single-row-broadcast class
+    "mlprep_split_leakage_audit",
 }
 
 #: Queries that run their own streaming jobs — planned separately.

@@ -42,6 +42,9 @@ BNLJ_OK = {
     "validate_quality_constraints",
     # 1-row order total cross-joined onto the pair-support dim
     "basket_copurchase_lift",
+    # 1-row cross-split leak count cross-joined onto the 3-row split
+    # sizes dim — same single-row-broadcast class
+    "mlprep_split_leakage_audit",
 }
 
 
