@@ -323,6 +323,14 @@ _ROTATION_R7: dict[str, int] = {
     "dedup_snm_span_clusters": 6,
     "batching_length_grouped": 6,
     "ivm_join_delta": 6,
+    # rotate IN — NEW: graph_triangle_count + dns_ip_cidr_attribution
+    # (tier-5 defaults).  Out, both r6-win green with reps remaining:
+    # layout_zorder_events (map-only codegen expression, pinned by
+    # tests/test_layout.py's footer-pruning proof) and
+    # events_rolling_features (the events window family keeps
+    # gap_fill/ohlc/cusum/user_zscore/equidepth in-window).
+    "layout_zorder_events": 6,
+    "events_rolling_features": 6,
 }
 
 

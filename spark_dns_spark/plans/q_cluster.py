@@ -596,3 +596,63 @@ def mlprep_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_clusters",
         F.col("n").alias("cross_split_pairs"),
     )
+
+
+@register(
+    "graph_triangle_count",
+    f"""
+WITH pairs AS (
+{MINHASH_LSH_SQL}
+), e AS (
+  SELECT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+  FROM pairs
+), tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), pernode AS (
+  SELECT doc_id, count(*)::BIGINT AS n_triangles FROM (
+    SELECT a AS doc_id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY doc_id
+)
+SELECT doc_id, n_triangles FROM pernode
+""",
+    doc="triangle counting over the near-dup graph via the classic "
+    "ordered-join algorithm (edges oriented low->high id, so each "
+    "triangle is enumerated exactly once as a<b<c — no factor-6 "
+    "dedup pass and join fan-out is bounded by the out-degree of the "
+    "ORDERED graph, the standard trick that makes this O(E^1.5) at "
+    "scale).  Per-doc triangle membership is the dedup-QA signal: "
+    "high triangle density = clique-like duplicate clusters (safe to "
+    "collapse), zero triangles on a large component = chain-like "
+    "false-positive bridges worth re-verifying",
+    tags=("graph", "dedup", "metric"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    e = pairs.select(
+        F.least("id_a", "id_b").alias("a"),
+        F.greatest("id_a", "id_b").alias("b"),
+    ).persist()
+    e1 = e.alias("e1")
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("e2")
+    e3 = e.select(F.col("a").alias("ta"), F.col("b").alias("tc")).alias("e3")
+    tri = (
+        e1.join(e2, "b")
+        .join(
+            e3,
+            (F.col("ta") == F.col("a")) & (F.col("tc") == F.col("c")),
+        )
+        .select("a", "b", "c")
+    )
+    pernode = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return pernode

@@ -258,3 +258,80 @@ def dns_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     await_or_fail(q, 300)
     return spark.read.parquet(out).select("action", "fqdn", "ip", "zone")
+
+
+@register(
+    "dns_ip_cidr_attribution",
+    DNS_CHANGES_CTE
+    + """
+, ips AS (
+  SELECT DISTINCT
+    CAST(string_split(ip, '.')[2] AS BIGINT) AS o2,
+    CAST(string_split(ip, '.')[4] AS BIGINT) AS o4
+  FROM dns_changes
+), c24 AS (
+  -- a /24 exists where the data shows a dense third-level block
+  SELECT o2, '10.' || o2 || '.0.0/24' AS block, 24 AS pfx
+  FROM (SELECT o2, count(*) AS n FROM ips GROUP BY o2)
+  WHERE n >= 32
+), c16 AS (
+  SELECT DISTINCT o2, '10.' || o2 || '.0.0/16' AS block, 16 AS pfx FROM ips
+), matched AS (
+  SELECT i.o2, i.o4, block, pfx,
+         row_number() OVER (PARTITION BY i.o2, i.o4 ORDER BY pfx DESC) AS rn
+  FROM ips i JOIN (SELECT * FROM c24 UNION ALL SELECT * FROM c16) c
+    USING (o2)
+)
+SELECT block, pfx::BIGINT AS prefix_len, count(*)::BIGINT AS n_ips
+FROM matched WHERE rn = 1
+GROUP BY block, pfx
+""",
+    doc="longest-prefix-match CIDR attribution — the network-analytics "
+    "join DNS logs feed into: the block table is derived from the data "
+    "(/24 where a second-octet block is dense, /16 everywhere), each "
+    "distinct IP matches the LONGEST covering prefix (hierarchy as a "
+    "broadcast equi-join on the shared octet key + argmax on prefix "
+    "length, the scalable form of an interval/trie lookup — the dim "
+    "broadcasts at any corpus scale because the routing table, not the "
+    "traffic, bounds it), aggregated to per-block address counts",
+    tags=("connector", "join", "network"),
+)
+def dns_ip_cidr_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = dns_changes(spark, sf_dir)
+    ips = (
+        ch.select(
+            F.split("ip", "\\.").getItem(1).cast("long").alias("o2"),
+            F.split("ip", "\\.").getItem(3).cast("long").alias("o4"),
+        )
+        .distinct()
+        .persist()
+    )
+    c24 = (
+        ips.groupBy("o2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 32)
+        .select(
+            "o2",
+            F.concat(F.lit("10."), F.col("o2").cast("string"),
+                     F.lit(".0.0/24")).alias("block"),
+            F.lit(24).alias("pfx"),
+        )
+    )
+    c16 = ips.select("o2").distinct().select(
+        "o2",
+        F.concat(F.lit("10."), F.col("o2").cast("string"),
+                 F.lit(".0.0/16")).alias("block"),
+        F.lit(16).alias("pfx"),
+    )
+    cidr = c24.unionAll(c16)
+    w = Window.partitionBy("o2", "o4").orderBy(F.desc("pfx"))
+    matched = (
+        ips.join(F.broadcast(cidr), "o2")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return matched.groupBy("block", "pfx").agg(
+        F.count(F.lit(1)).alias("n_ips")
+    ).select(
+        "block", F.col("pfx").cast("long").alias("prefix_len"), "n_ips"
+    )
