@@ -85,10 +85,12 @@ HEADLINE = [
     "events_quantile_normalize",
     "dedup_snm_span_clusters",
     "events_cusum_drift",
-    # round-7 tier (50 -> 52; BASELINE.md: cross-round totals compare
+    # round-7 tier (50 -> 54; BASELINE.md: cross-round totals compare
     # the 27/31/38/44/49/50-query prefixes)
     "dedup_exact_substring",
     "vocab_bpe_apply",
+    "mlprep_leakage_free_split",
+    "dns_ip_cidr_attribution",
 ]
 
 
