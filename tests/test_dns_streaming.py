@@ -274,3 +274,45 @@ def test_stream_backlog_drains_across_capped_batches(spark, store, tmp_path):
     assert serials and all(0 < s <= 1 for s in steps), (serials, steps)
     with open(os.path.join(pdir, "admission.json")) as f:
         assert json.load(f)["example.acme."] == 5
+
+
+def test_admission_clock_crash_recovery(spark, store, tmp_path):
+    """Documented crash semantics of the self-persisted admission clock:
+    if a prior run ADMITTED serials that were never processed (crash
+    between latestOffset and the batch), the next run seeds from the
+    admission file and admits admitted+cap — a one-off larger batch,
+    never a stall and never a skipped serial."""
+    import json
+    import os
+
+    from spark_dns_spark.sources.dns_source import DnsStreamReader
+
+    for i in range(2, 6):  # head serial = 5
+        store.apply_update(
+            "example.acme.",
+            [("IXFR_ADD", f"h{i}.example.acme.", f"10.0.0.{i}")],
+        )
+    opts = {
+        "store": store.root,
+        "zones": "example.acme.",
+        "max-changes-per-batch": "2",
+    }
+    # simulate a crashed predecessor that admitted up to serial 3
+    pdir = os.path.join(store.root, ".progress")
+    os.makedirs(pdir)
+    with open(os.path.join(pdir, "admission.json"), "w") as f:
+        json.dump({"example.acme.": 3}, f)
+
+    r = DnsStreamReader(opts)
+    off1 = r.latestOffset()
+    # seeds from the admission file (3), not from scratch: 3+2=5
+    assert off1 == {"example.acme.": 5}
+    # a FRESH reader (no admission file) seeds from initialOffset
+    os.unlink(os.path.join(pdir, "admission.json"))
+    r2 = DnsStreamReader(opts)
+    assert r2.latestOffset() == {"example.acme.": 2}
+    # and the clock never runs past the head serial
+    r3 = DnsStreamReader(opts)
+    for _ in range(5):
+        out = r3.latestOffset()
+    assert out == {"example.acme.": 5}
