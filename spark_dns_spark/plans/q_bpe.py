@@ -63,8 +63,10 @@ p{k} AS (
 ), s{k} AS (
   SELECT word, f,
          replace(seq,
-                 ' ' || replace((SELECT pr FROM m{k}), '|', ' ') || ' ',
-                 ' ' || replace((SELECT pr FROM m{k}), '|', '') || ' ')
+                 coalesce(' ' || replace((SELECT pr FROM m{k}), '|', ' ')
+                              || ' ', ''),
+                 coalesce(' ' || replace((SELECT pr FROM m{k}), '|', '')
+                              || ' ', ''))
            AS seq
   FROM {prev}
 )"""
@@ -306,23 +308,27 @@ def vocab_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(F.split("text", " ")).alias("word")
     )
     j = words.join(F.broadcast(toks), "word", "left")
-    n_enc = F.sum(
-        F.when(F.col("tok_cnt").isNotNull(), 1).otherwise(0)
-    ).cast("long")
-    n_oov = F.sum(
-        F.when(F.col("tok_cnt").isNull(), 1).otherwise(0)
-    ).cast("long")
-    return j.groupBy("source").agg(
+    agg = j.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        n_enc.alias("n_enc"),
-        n_oov.alias("n_oov"),
+        F.sum(F.when(F.col("tok_cnt").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_enc"),
+        F.sum(F.when(F.col("tok_cnt").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.sum(F.coalesce("tok_cnt", F.lit(0))).alias("_tok_sum"),
+    )
+    # derive the ratios from the aggregated columns (one spelling of
+    # each sum, not two)
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_enc",
+        "n_oov",
+        F.expr("CAST(n_oov * 1000 div n_tokens AS BIGINT)").alias(
+            "oov_per_mille"
+        ),
         F.expr(
-            "CAST(sum(CASE WHEN tok_cnt IS NULL THEN 1 ELSE 0 END) * 1000 "
-            "div count(*) AS BIGINT)"
-        ).alias("oov_per_mille"),
-        F.expr(
-            "CAST(sum(coalesce(tok_cnt, 0)) * 1000 div "
-            "greatest(sum(CASE WHEN tok_cnt IS NOT NULL THEN 1 ELSE 0 END), 1)"
-            " AS BIGINT)"
+            "CAST(_tok_sum * 1000 div greatest(n_enc, 1) AS BIGINT)"
         ).alias("fertility_milli"),
     )

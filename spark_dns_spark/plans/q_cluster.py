@@ -604,19 +604,18 @@ def mlprep_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH pairs AS (
 {MINHASH_LSH_SQL}
 ), e AS (
-  SELECT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
-  FROM pairs
+  -- dedup_minhash_lsh already emits DISTINCT pairs with id_a < id_b
+  -- (both engines), so the edge relation is oriented as-is
+  SELECT id_a AS a, id_b AS b FROM pairs
 ), tri AS (
   SELECT e1.a, e1.b, e2.b AS c
   FROM e e1
   JOIN e e2 ON e2.a = e1.b
   JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
 ), pernode AS (
-  SELECT doc_id, count(*)::BIGINT AS n_triangles FROM (
-    SELECT a AS doc_id FROM tri
-    UNION ALL SELECT b FROM tri
-    UNION ALL SELECT c FROM tri
-  ) GROUP BY doc_id
+  SELECT doc_id, count(*)::BIGINT AS n_triangles
+  FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+  GROUP BY doc_id
 )
 SELECT doc_id, n_triangles FROM pernode
 """,
@@ -632,10 +631,10 @@ SELECT doc_id, n_triangles FROM pernode
     tags=("graph", "dedup", "metric"),
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
-    e = pairs.select(
-        F.least("id_a", "id_b").alias("a"),
-        F.greatest("id_a", "id_b").alias("b"),
+    # dedup_minhash_lsh emits DISTINCT pairs with id_a < id_b, so the
+    # edge relation is already triangle-oriented
+    e = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
     ).persist()
     e1 = e.alias("e1")
     e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("e2")
@@ -648,10 +647,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("a", "b", "c")
     )
+    # ONE pass over the (expensive) triangle join: explode the three
+    # corners instead of scanning tri per unionAll branch
     pernode = (
-        tri.select(F.col("a").alias("doc_id"))
-        .unionAll(tri.select(F.col("b").alias("doc_id")))
-        .unionAll(tri.select(F.col("c").alias("doc_id")))
+        tri.select(
+            F.explode(F.array("a", "b", "c")).alias("doc_id")
+        )
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )

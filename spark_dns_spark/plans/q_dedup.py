@@ -509,7 +509,11 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 W_SUB = 10  #: span width in whitespace tokens (docs are 10..100 tokens)
 
-_SUBSTR_SQL = f"""
+#: Shared CTE prefix: shingle hash -> global first occurrence -> the
+#: duplicate-span relation ``dup(doc_id, pos, fin)``.  ONE definition
+#: for both the accounting and the apply query, so the first-occurrence
+#: rule can never silently desynchronize between them.
+_SUBSTR_DUP_CTES = f"""
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS arr FROM documents
 ), sh AS (
@@ -522,7 +526,13 @@ WITH w AS (
   FROM sh
 ), dup AS (
   SELECT doc_id, pos, fin FROM occ WHERE rn > 1
-), isl AS (
+)
+"""
+
+_SUBSTR_SQL = (
+    _SUBSTR_DUP_CTES
+    + f"""
+, isl AS (
   SELECT doc_id, pos, fin,
          sum(CASE WHEN prev_fin IS NULL OR pos > prev_fin + 1
                   THEN 1 ELSE 0 END)
@@ -550,6 +560,7 @@ SELECT d.doc_id,
          AS keep_tokens
 FROM documents d LEFT JOIN acct a USING (doc_id)
 """
+)
 
 
 @register(
@@ -644,26 +655,10 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SUBSTR_CLEAN_SQL = f"""
-WITH w AS (
-  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
-), sh AS (
-  SELECT doc_id, i AS pos,
-         {portable_hash60_sql(f"list_aggregate(arr[i:i+{W_SUB}-1], 'string_agg', ' ')")} AS h
-  FROM w, LATERAL unnest(generate_series(1, len(arr) - {W_SUB} + 1)) s(i)
-), occ AS (
-  SELECT doc_id, pos, pos + {W_SUB} - 1 AS fin,
-         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
-  FROM sh
-), dup AS (
-  SELECT doc_id, pos, fin FROM occ WHERE rn > 1
-), cov AS (
-  SELECT doc_id, pos, fin,
-         max(fin) OVER (PARTITION BY doc_id ORDER BY pos
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-           AS prev_fin
-  FROM dup
-), tok AS (
+_SUBSTR_CLEAN_SQL = (
+    _SUBSTR_DUP_CTES
+    + f"""
+, tok AS (
   SELECT doc_id, i AS pos, string_split(text, ' ')[i] AS word
   FROM documents,
        LATERAL unnest(generate_series(1, len(string_split(text, ' ')))) s(i)
@@ -686,6 +681,7 @@ LEFT JOIN (
   FROM kept GROUP BY doc_id
 ) k USING (doc_id)
 """
+)
 
 
 @register(

@@ -9,6 +9,8 @@ from collections import Counter
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from spark_dns_spark.plans.q_bpe import N_MERGES
 
 
@@ -69,3 +71,49 @@ def test_replay_deterministic_tiebreak():
     # equal counts: 'ab' vs 'ba' both appear once -> lexicographic win
     merges = _replay({"ab": 1, "ba": 1}, 1)
     assert merges[0][1:3] == ("a", "b")
+
+
+def test_degenerate_corpus_fewer_merges_than_rounds(spark, tmp_path):
+    """A valid corpus can exhaust merges before N_MERGES rounds (all
+    words collapse to one symbol).  Spark breaks its loop; the oracle's
+    no-winner round must be a NO-OP (coalesce to the empty pattern, a
+    replace identity), not a NULL-poisoning replace — both engines must
+    still agree on the apply/fertility outputs built on the final
+    sequences (code-review r7 finding)."""
+    import os
+
+    import duckdb
+
+    from spark_dns_spark.plans import q_bpe
+    from tools.check_oracle import _pandas_rows, configure_duck, table_hash
+
+    # every matching word is 'ab': round 1 merges a|b, round 2 has no
+    # adjacent pair anywhere -> degenerate
+    docs = [(d, "ab ab XX ab") for d in range(6)]
+    sf = str(tmp_path / "sf_degen")
+    os.makedirs(sf)
+    spark.createDataFrame(docs, "doc_id long, text string").withColumn(
+        "source", F.lit("s0")
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    con = duckdb.connect()
+    configure_duck(con)
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf}/documents.parquet/*.parquet'"
+    )
+    for name in ("vocab_bpe_merges", "vocab_bpe_apply", "vocab_bpe_fertility"):
+        sdf = getattr(q_bpe, name)(spark, sf)
+        scols, srows = _pandas_rows(sdf.toPandas())
+        from spark_dns_spark.plans.catalog import catalog
+
+        dcur = con.execute(catalog()[name].sql)
+        dcols = [c[0] for c in dcur.description]
+        dcols_rows = _pandas_rows(dcur.df())
+        assert len(srows) == len(dcols_rows[1]), name
+        assert table_hash(srows, scols) == table_hash(
+            dcols_rows[1], dcols_rows[0]
+        ), name
+    # and the single learned merge is the expected one
+    merges, _ = q_bpe._train(spark, sf)
+    assert [(m[1], m[2]) for m in merges] == [("a", "b")]

@@ -50,10 +50,20 @@ def configure_duck(con) -> None:
     'Out of Memory Error: Failed to allocate block' right after the
     heavy streaming queries.  A modest explicit limit + spill dir
     turns that into graceful out-of-core execution instead."""
+    import os
     import tempfile
 
+    try:
+        ram_gb = (
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        ) // (1 << 30)
+    except (ValueError, OSError):
+        ram_gb = 16
+    # never ABOVE the 80%-of-RAM default on small hosts: a fixed 16GB
+    # on an 8GB box would worsen the race this helper exists to stop
+    limit_gb = max(1, min(16, int(ram_gb * 0.4)))
     con.execute("SET threads=8")
-    con.execute("SET memory_limit='16GB'")
+    con.execute(f"SET memory_limit='{limit_gb}GB'")
     con.execute(
         f"SET temp_directory='{tempfile.mkdtemp(prefix='duck_spill_')}'"
     )
