@@ -331,6 +331,14 @@ _ROTATION_R7: dict[str, int] = {
     # gap_fill/ohlc/cusum/user_zscore/equidepth in-window).
     "layout_zorder_events": 6,
     "events_rolling_features": 6,
+    # rotate IN — NEW: linkage_field_scores + sample_weighted_priority
+    # (tier-5 defaults).  Out, both green with reps remaining:
+    # events_mad_outliers (robust-stats family keeps equidepth/cusum/
+    # user_zscore in-window) and events_ohlc_bars (time-series family
+    # keeps gap_fill/cusum/quantile_normalize in-window; ohlc stays in
+    # the bench and under the full gate).
+    "events_mad_outliers": 6,
+    "events_ohlc_bars": 6,
 }
 
 

@@ -768,3 +768,106 @@ def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity-resolution scoring (Fellegi-Sunter shape): the step between
+# candidate generation (SNM / LSH blocking) and clustering — per-pair
+# FIELD-LEVEL evidence combined into an integer score and a
+# match / possible / non_match decision.  Weights are fixed integer
+# evidence values standing in for trained log-odds (the public F-S
+# formulation learns them via EM; the plan shape — candidate pairs ⋈
+# attribute table, map-only scoring — is identical either way).
+
+#: agreement / disagreement weights (integer 'log-odds' stand-ins)
+LNK_W = {
+    "lang_agree": 3, "lang_dis": -1,
+    "src_agree": 2, "src_dis": -1,
+    "len_agree": 2, "len_dis": -1,
+    "jac_strong": 8, "jac_weak": 3, "jac_dis": -4,
+}
+LNK_JAC_STRONG = 500  #: per-mille Jaccard for strong agreement
+LNK_JAC_WEAK = 350  #: per-mille Jaccard for weak agreement
+LNK_MATCH_T = 12  #: score >= T  -> match
+LNK_POSSIBLE_T = 5  #: score >= T -> possible (clerical-review band)
+
+_LINK_SCORE_SQL = f"""
+  (CASE WHEN a.lang = b.lang THEN {LNK_W["lang_agree"]}
+        ELSE {LNK_W["lang_dis"]} END)
++ (CASE WHEN a.source = b.source THEN {LNK_W["src_agree"]}
+        ELSE {LNK_W["src_dis"]} END)
++ (CASE WHEN abs(a.n_chars - b.n_chars) * 10 <= greatest(a.n_chars, b.n_chars)
+        THEN {LNK_W["len_agree"]} ELSE {LNK_W["len_dis"]} END)
++ (CASE WHEN jaccard_x1000 >= {LNK_JAC_STRONG} THEN {LNK_W["jac_strong"]}
+        WHEN jaccard_x1000 >= {LNK_JAC_WEAK} THEN {LNK_W["jac_weak"]}
+        ELSE {LNK_W["jac_dis"]} END)
+"""
+
+
+@register(
+    "linkage_field_scores",
+    "WITH "
+    + SNM_CTES
+    + f"""
+, lk AS (
+  SELECT s.doc_a, s.doc_b, s.jaccard_x1000,
+         CAST({_LINK_SCORE_SQL} AS BIGINT) AS score
+  FROM snm s
+  JOIN documents a ON a.doc_id = s.doc_a
+  JOIN documents b ON b.doc_id = s.doc_b
+)
+SELECT doc_a, doc_b, jaccard_x1000, score,
+       CASE WHEN score >= {LNK_MATCH_T} THEN 'match'
+            WHEN score >= {LNK_POSSIBLE_T} THEN 'possible'
+            ELSE 'non_match' END AS decision
+FROM lk
+""",
+    doc="entity-resolution scoring (Fellegi-Sunter shape): SNM "
+    "candidate pairs scored field-by-field (lang / source / length "
+    "within 10% / Jaccard bands) with integer evidence weights, "
+    "classified into match / possible / non_match — the "
+    "clerical-review triage between blocking and clustering; "
+    "candidates x broadcast-attribute join, map-only scoring",
+    tags=("dedup", "linkage", "mlprep"),
+)
+def linkage_field_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, pairs = snm_ranked_pairs(spark, sf_dir)
+    attrs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    a = attrs.toDF("doc_a", "lang_a", "src_a", "len_a")
+    b = attrs.toDF("doc_b", "lang_b", "src_b", "len_b")
+    lk = (
+        pairs.select("doc_a", "doc_b", "jaccard_x1000")
+        .join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+    )
+    w = LNK_W
+    score = (
+        F.when(F.col("lang_a") == F.col("lang_b"), w["lang_agree"]).otherwise(
+            w["lang_dis"]
+        )
+        + F.when(F.col("src_a") == F.col("src_b"), w["src_agree"]).otherwise(
+            w["src_dis"]
+        )
+        + F.when(
+            F.abs(F.col("len_a") - F.col("len_b")) * 10
+            <= F.greatest("len_a", "len_b"),
+            w["len_agree"],
+        ).otherwise(w["len_dis"])
+        + F.when(
+            F.col("jaccard_x1000") >= LNK_JAC_STRONG, w["jac_strong"]
+        )
+        .when(F.col("jaccard_x1000") >= LNK_JAC_WEAK, w["jac_weak"])
+        .otherwise(w["jac_dis"])
+    ).cast("long")
+    return (
+        lk.withColumn("score", score)
+        .withColumn(
+            "decision",
+            F.when(F.col("score") >= LNK_MATCH_T, "match")
+            .when(F.col("score") >= LNK_POSSIBLE_T, "possible")
+            .otherwise("non_match"),
+        )
+        .select("doc_a", "doc_b", "jaccard_x1000", "score", "decision")
+    )

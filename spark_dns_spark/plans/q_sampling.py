@@ -200,3 +200,68 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kmv_estimate"),
     )
+
+
+#: docs kept per source by the weighted priority sample.
+PRI_K = 8
+
+
+@register(
+    "sample_weighted_priority",
+    f"""
+WITH pri AS (
+  SELECT doc_id, source, n_chars,
+         -- priority = hash / weight (integer division): a doc with 2x
+         -- the weight is ~2x as likely to be among the k smallest —
+         -- the deterministic integer form of priority sampling
+         CAST('0x' || substr(md5('w|' || CAST(doc_id AS VARCHAR)), 1, 12)
+              AS BIGINT) // greatest(n_chars, 1) AS priority
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source, n_chars, priority,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY priority, doc_id) AS rn
+  FROM pri
+)
+SELECT doc_id, source, n_chars::BIGINT AS n_chars,
+       priority::BIGINT AS priority, rn::BIGINT AS rn
+FROM ranked WHERE rn <= {PRI_K}
+""",
+    doc=f"weighted priority sampling: top-{PRI_K} docs per source by "
+    "priority = md5-hash div weight (weight = n_chars), the "
+    "deterministic integer form of priority/weighted-reservoir "
+    "sampling — longer docs are proportionally likelier to be kept, "
+    "reruns and backfills pick the SAME rows (no RNG), and the "
+    "per-group top-k is one window over skinny columns.  At 100 TB "
+    "this replaces rand()-based weighted sampling whose resample "
+    "changes every run",
+    tags=("sampling", "mlprep"),
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    # integer `div`, never float `/`+cast: the 48-bit hash over a small
+    # weight is exactly representable in a double but its QUOTIENT is
+    # not, and truncating a rounded double can differ from true floor
+    pri = docs.withColumn(
+        "priority",
+        F.expr(
+            "CAST(conv(substring(md5(concat('w|', CAST(doc_id AS STRING))),"
+            " 1, 12), 16, 10) AS BIGINT) div greatest(n_chars, 1L)"
+        ),
+    )
+    w = Window.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        pri.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PRI_K)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "priority",
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
