@@ -339,6 +339,11 @@ _ROTATION_R7: dict[str, int] = {
     # the bench and under the full gate).
     "events_mad_outliers": 6,
     "events_ohlc_bars": 6,
+    # rotate IN — NEW: mix_token_budget_apportion (tier-5 default);
+    # out: events_equidepth_quartiles (benched every round; the
+    # distribution-stats family keeps cusum/user_zscore/
+    # quantile_normalize in-window).
+    "events_equidepth_quartiles": 6,
 }
 
 

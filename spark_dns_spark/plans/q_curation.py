@@ -420,3 +420,81 @@ def domain_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_kept"),
         )
     )
+
+
+#: Global token budget apportioned across sources (Hamilton method).
+MIX_BUDGET = 100_000
+
+
+@register(
+    "mix_token_budget_apportion",
+    f"""
+WITH src AS (
+  SELECT source, sum(n_chars)::BIGINT AS w
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(w) AS tw, count(*) AS ns FROM src
+), base AS (
+  SELECT source, w,
+         ({MIX_BUDGET} * w) // (SELECT tw FROM tot) AS floor_quota,
+         ({MIX_BUDGET} * w) % (SELECT tw FROM tot) AS remainder
+  FROM src
+), seats AS (
+  SELECT (SELECT CAST({MIX_BUDGET} AS BIGINT) FROM tot)
+         - sum(floor_quota) AS extra
+  FROM base
+), ranked AS (
+  SELECT source, w, floor_quota, remainder,
+         row_number() OVER (ORDER BY remainder DESC, source) AS rr
+  FROM base
+)
+SELECT source, w, floor_quota::BIGINT AS floor_quota,
+       remainder::BIGINT AS remainder,
+       (floor_quota + CASE WHEN rr <= (SELECT extra FROM seats)
+                           THEN 1 ELSE 0 END)::BIGINT AS quota
+FROM ranked
+""",
+    doc=f"largest-remainder (Hamilton) apportionment of a global "
+    f"{MIX_BUDGET}-token budget across sources by char mass — the "
+    "integer-exact core of data-mixture quota allocation: floor "
+    "quotas always sum <= budget, the leftover seats go to the "
+    "largest remainders (deterministic source tie-break), so quotas "
+    "sum to EXACTLY the budget with no float weights anywhere; one "
+    "aggregate + one window over a source-sized relation",
+    tags=("curation", "mlprep", "sampling"),
+)
+def mix_token_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").cast("long").alias("w"))
+    )
+    tot = src.agg(
+        F.sum("w").alias("tw"), F.count(F.lit(1)).alias("ns")
+    )
+    base = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "w",
+        F.expr(f"({MIX_BUDGET}L * w) div tw").alias("floor_quota"),
+        F.expr(f"({MIX_BUDGET}L * w) % tw").alias("remainder"),
+    )
+    seats = base.agg(
+        (F.lit(MIX_BUDGET).cast("long") - F.sum("floor_quota")).alias("extra")
+    )
+    w_rank = Window.orderBy(F.desc("remainder"), F.asc("source"))
+    # NB the single-partition window is over the SOURCE dimension
+    # (tens of rows at any corpus scale), not the corpus
+    return (
+        base.withColumn("rr", F.row_number().over(w_rank))
+        .crossJoin(F.broadcast(seats))
+        .select(
+            "source",
+            "w",
+            "floor_quota",
+            "remainder",
+            (
+                F.col("floor_quota")
+                + F.when(F.col("rr") <= F.col("extra"), 1).otherwise(0)
+            ).cast("long").alias("quota"),
+        )
+    )

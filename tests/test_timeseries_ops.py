@@ -199,3 +199,27 @@ def test_mad_constant_user_flags_only_deviants(spark, tmp_path):
     assert got[1] == (0, 1, 10)
     # user 2: all constant -> MAD 0, zero outliers
     assert got[2] == (0, 0, 5)
+
+
+def test_apportionment_sums_exactly_to_budget(spark, sf_dir):
+    """Hamilton apportionment invariants: quotas sum to EXACTLY the
+    budget, every quota is floor_quota or floor_quota+1, and the +1
+    seats go to the largest remainders."""
+    from spark_dns_spark.plans.q_curation import (
+        MIX_BUDGET,
+        mix_token_budget_apportion,
+    )
+
+    rows = mix_token_budget_apportion(spark, sf_dir).collect()
+    assert sum(r["quota"] for r in rows) == MIX_BUDGET
+    assert all(r["quota"] - r["floor_quota"] in (0, 1) for r in rows)
+    bumped = sorted(
+        (r for r in rows if r["quota"] > r["floor_quota"]),
+        key=lambda r: (-r["remainder"], r["source"]),
+    )
+    unbumped_max_rem = max(
+        (r["remainder"] for r in rows if r["quota"] == r["floor_quota"]),
+        default=-1,
+    )
+    if bumped:
+        assert min(r["remainder"] for r in bumped) >= unbumped_max_rem
