@@ -45,6 +45,9 @@ BNLJ_OK = {
     # 1-row cross-split leak count cross-joined onto the 3-row split
     # sizes dim — same single-row-broadcast class
     "mlprep_split_leakage_audit",
+    # two 1-row relations (grand total tw, leftover seats) broadcast
+    # onto the source-sized dim — same single-row-broadcast class
+    "mix_token_budget_apportion",
 }
 
 
