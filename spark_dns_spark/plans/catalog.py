@@ -344,6 +344,10 @@ _ROTATION_R7: dict[str, int] = {
     # distribution-stats family keeps cusum/user_zscore/
     # quantile_normalize in-window).
     "events_equidepth_quartiles": 6,
+    # rotate IN — NEW: graph_clustering_coefficient (tier-5 default);
+    # out: snapshot_diff_orders (r6-win green; the validation family
+    # keeps validate_quality_constraints in-window).
+    "snapshot_diff_orders": 6,
 }
 
 

@@ -657,3 +657,86 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return pernode
+
+
+@register(
+    "graph_clustering_coefficient",
+    f"""
+WITH pairs AS (
+{MINHASH_LSH_SQL}
+), e AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+), deg AS (
+  SELECT doc_id, count(*)::BIGINT AS degree FROM (
+    SELECT a AS doc_id FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY doc_id
+), tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), tcnt AS (
+  SELECT doc_id, count(*)::BIGINT AS n_triangles
+  FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, d.degree,
+       coalesce(t.n_triangles, 0)::BIGINT AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN (2000 * coalesce(t.n_triangles, 0))
+                   // (d.degree * (d.degree - 1))
+            ELSE 0 END::BIGINT AS coeff_milli
+FROM deg d LEFT JOIN tcnt t USING (doc_id)
+""",
+    doc="local clustering coefficient per node of the near-dup graph "
+    "(integer milli-units: 2T div d(d-1)) — the per-doc companion of "
+    "graph_triangle_count: coefficient ~1000 marks clique-like "
+    "duplicate neighborhoods (collapse confidently), ~0 with high "
+    "degree marks hub/bridge docs whose matches deserve re-scoring; "
+    "degree is one map-side-combinable count, triangles reuse the "
+    "ordered-join enumeration",
+    tags=("graph", "dedup", "metric"),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).persist()
+    deg = (
+        e.select(F.col("a").alias("doc_id"))
+        .unionAll(e.select(F.col("b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1 = e.alias("e1")
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("e2")
+    e3 = e.select(F.col("a").alias("ta"), F.col("b").alias("tc")).alias("e3")
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("ta") == F.col("a")) & (F.col("tc") == F.col("c")))
+        .select("a", "b", "c")
+    )
+    tcnt = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(tcnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "CAST(2000 * coalesce(n_triangles, 0) div "
+                    "(degree * (degree - 1)) AS BIGINT)"
+                ),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("coeff_milli"),
+        )
+    )

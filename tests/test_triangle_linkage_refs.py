@@ -86,3 +86,26 @@ def test_linkage_scores_match_python_reference(spark, sf_dir):
         for r in linkage_field_scores(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_clustering_coefficient_matches_bruteforce(spark, sf_dir):
+    from spark_dns_spark.plans.q_cluster import graph_clustering_coefficient
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b").collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for n, nb in adj.items():
+        t = sum(1 for u, v in combinations(sorted(nb), 2) if v in adj[u])
+        d = len(nb)
+        want[n] = (d, t, (2000 * t) // (d * (d - 1)) if d >= 2 else 0)
+    got = {
+        r["doc_id"]: (r["degree"], r["n_triangles"], r["coeff_milli"])
+        for r in graph_clustering_coefficient(spark, sf_dir).collect()
+    }
+    assert got == want
