@@ -299,8 +299,11 @@ _ROTATION_R7: dict[str, int] = {
     "similarity_topk_ivf": 5,
     # rotate OUT — green, untouched r7, family reps remain in-window:
     # tpch_q15 (scalar-max row selection; q4/q13/q18/q22 carry the
-    # TPC-H subquery family), events_value_histogram (the equi-width
-    # twin of in-window events_equidepth_quartiles), and
+    # TPC-H subquery family), events_value_histogram (equi-width
+    # binning; with events_equidepth_quartiles ALSO rotating out below,
+    # the distribution family is represented in-window by cusum /
+    # user_zscore / quantile_normalize, and both histogram shapes stay
+    # under the full-catalog gate + bench every round), and
     # multimodal_frame_sample (multimodal_resize_nn keeps the Arrow
     # mapInPandas quartet in-window).  All stay under the full-catalog
     # oracle gate every round.

@@ -224,7 +224,11 @@ GROUP BY doc_id
     "(the vocab is the SMALL side at any scale: ~MBs at 100 TB), so "
     "tokenization is one broadcast join + one groupBy(doc_id) "
     "order-preserving reassembly; per-doc token counts and the full "
-    "token sequence are exact in both engines",
+    "token sequence are exact in both engines.  Coverage note: output "
+    "is one row per doc WITH at least one in-vocab word — all-OOV "
+    "docs are dropped by the inner join in both engines (fertility's "
+    "per-source n_oov accounts for them); this is a deliberate "
+    "encode-what's-encodable contract, not full-corpus coverage",
     tags=("text", "mlprep", "bpe"),
 )
 def vocab_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:

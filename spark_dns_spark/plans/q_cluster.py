@@ -500,8 +500,10 @@ WITH RECURSIVE pairs AS (
     "per near-dup CLUSTER (md5 of the component's min doc_id), so "
     "every member of a duplicate component lands in the same split and "
     "no training doc has an eval twin; singleton docs hash their own "
-    "id.  Deterministic and stable under corpus growth — new docs "
-    "never reshuffle existing assignments",
+    "id.  Deterministic; stable under corpus growth as long as new "
+    "docs don't BRIDGE two existing components (a bridging doc merges "
+    "them, changing the component min and hence the cluster hash, "
+    "which can legitimately reassign the merged cluster)",
     tags=("mlprep", "dedup", "cluster"),
 )
 def mlprep_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -234,8 +234,14 @@ class DnsStreamReader(DataSourceStreamReader):
     # persists itself beside the progress log ("admission.json"; the
     # progress id listing skips non-digit names).  It is an upper-bound
     # HINT, not a commitment: after a crash between admit and process,
-    # the next run admits (old admitted)+cap — a one-off larger batch,
-    # the same best-effort class as kafka's maxOffsetsPerTrigger.
+    # the next run admits (old admitted)+cap — and because the clock is
+    # persisted in latestOffset() BEFORE the batch is processed, a
+    # crash-restart LOOP compounds: each restart re-admits +cap, so the
+    # first batch that finally succeeds can be up to cap x restarts
+    # large.  Same best-effort class as kafka's maxOffsetsPerTrigger
+    # (which also re-admits on restart); moving the persist into
+    # commit() would instead re-plan the identical batch forever when
+    # commit never fires, which is worse.
 
     def _admission_path(self) -> str:
         return os.path.join(self.progress.path, "admission.json")

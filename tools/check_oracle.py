@@ -64,9 +64,15 @@ def configure_duck(con) -> None:
     limit_gb = max(1, min(16, int(ram_gb * 0.4)))
     con.execute("SET threads=8")
     con.execute(f"SET memory_limit='{limit_gb}GB'")
-    con.execute(
-        f"SET temp_directory='{tempfile.mkdtemp(prefix='duck_spill_')}'"
-    )
+    # spill dir cleaned up on interpreter exit (same pattern as
+    # feeds.scratch_dir) — otherwise every oracle run leaks a
+    # duck_spill_* directory plus any spill files (ADVICE r7)
+    import atexit
+    import shutil
+
+    spill = tempfile.mkdtemp(prefix="duck_spill_")
+    atexit.register(shutil.rmtree, spill, ignore_errors=True)
+    con.execute(f"SET temp_directory='{spill}'")
 
 
 def run_oracle_resilient(con, sql: str):
