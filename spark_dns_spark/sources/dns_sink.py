@@ -88,6 +88,15 @@ class DnsUpdateWriter(DataSourceWriter):
         self.ignore_failures = (
             str(_get(options, "ignore-failures", "false")).lower() == "true"
         )
+        # transport=wire: per-zone RFC 2136 UPDATE messages TCP-sent to
+        # a live server at store/server:port (the reference's only
+        # write path, DnsUpdate.java:46-81); transport=store (default):
+        # deterministic file-backed ZoneStore.
+        self.transport = str(_get(options, "transport", "store")).lower()
+        if self.transport not in ("store", "wire"):
+            from spark_dns_spark.sources.options import OptionError  # noqa: PLC0415
+
+            raise OptionError(f"invalid transport: {self.transport}")
 
     def write(self, iterator: Iterator[Row]) -> DnsWriteCommit:
         # Buffer-per-partition mirrors the reference's per-partition
@@ -114,17 +123,23 @@ class DnsUpdateWriter(DataSourceWriter):
             if prev is None or cand > prev[0]:
                 per_key[key] = (cand, row)
 
+        def _ttl(row: Row) -> int:
+            v = row["ttl"] if "ttl" in row.__fields__ else None
+            return int(v) if v is not None else DEFAULT_TTL
+
         by_zone: dict[str, list] = {}
         for (action, fqdn, ip), ((ts, eid), row) in per_key.items():
             by_zone.setdefault(_zone_of(fqdn), []).append(
-                (ts, eid, action, fqdn, ip)
+                (ts, eid, action, fqdn, ip, _ttl(row))
             )
 
-        store = ZoneStore(self.opts.store)
-        # same TCP-client failure model as the read path (bad port ⇒
-        # refused); not suppressable here — the reference sink throws
-        # on any send failure (DnsUpdate.java:76-80)
-        store.check_connect(self.opts.port, self.opts.timeout)
+        store = None
+        if self.transport == "store":
+            store = ZoneStore(self.opts.store)
+            # same TCP-client failure model as the read path (bad port ⇒
+            # refused); not suppressable here — the reference sink throws
+            # on any send failure (DnsUpdate.java:76-80)
+            store.check_connect(self.opts.port, self.opts.timeout)
         applied = []
         n = 0
         for zone in sorted(by_zone):
@@ -133,9 +148,29 @@ class DnsUpdateWriter(DataSourceWriter):
             # newer add for the same (fqdn, ip), violating the documented
             # most-recent-wins contract (README.md:119-121; the reference
             # is order-arbitrary here, we pin it to the feed order).
-            changes = [(a, f, i) for (_, _, a, f, i) in sorted(by_zone[zone])]
+            ordered = sorted(by_zone[zone])
             try:
-                store.apply_update(zone, changes)
+                if store is not None:
+                    store.apply_update(
+                        zone, [(a, f, i) for (_, _, a, f, i, _t) in ordered]
+                    )
+                else:
+                    # one RFC 2136 message per zone, rcode!=0 ⇒ raise
+                    # (DnsUpdate.java:46-81); connection errors are
+                    # OSError, never suppressed — only unknown-zone
+                    # (NOTAUTH) falls under ignore-failures, exactly
+                    # like the file-store path.
+                    from spark_dns_spark.sources.update_wire import (  # noqa: PLC0415
+                        send_update,
+                    )
+
+                    send_update(
+                        self.opts.store,
+                        self.opts.port,
+                        self.opts.timeout,
+                        zone,
+                        [(a, f, i, t) for (_, _, a, f, i, t) in ordered],
+                    )
             except ZoneNotFoundError:
                 if self.ignore_failures:
                     continue

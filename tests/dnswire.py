@@ -179,6 +179,67 @@ def parse_message(buf: bytes) -> ParsedMessage:
     return ParsedMessage(mid, qname, qtype, answers, authority)
 
 
+# ------------------------------------------------- RFC 2136 UPDATE side
+OPCODE_UPDATE = 5
+CLASS_IN = 1
+CLASS_NONE = 254
+RCODE_NOTAUTH = 9
+
+#: decoded update-section change: (action, fqdn, ip, ttl) using the
+#: connector's action vocabulary (AXFR-add vs IXFR_DELETE is the
+#: sender's distinction; on the wire both adds are class IN, so the
+#: server decodes adds as "add").
+UpdateChange = tuple[str, str, str, int]
+
+
+def message_opcode(buf: bytes) -> int:
+    return (struct.unpack_from("!H", buf, 2)[0] >> 11) & 0xF
+
+
+def parse_update_message(buf: bytes) -> tuple[int, str, list[UpdateChange]]:
+    """Decode an RFC 2136 §2 UPDATE request: (mid, zone, changes).
+    Header count fields map ZOCOUNT/PRCOUNT/UPCOUNT/ADCOUNT (§2.2)."""
+    mid, flags, zo, pr, up, _ad = struct.unpack_from("!HHHHHH", buf, 0)
+    if (flags >> 11) & 0xF != OPCODE_UPDATE:
+        raise ValueError("not an UPDATE message")
+    off = 12
+    zone = ""
+    for _ in range(zo):
+        zone, off = decode_name(buf, off)
+        off += 4  # ztype + zclass
+    for _ in range(pr):  # prerequisites: skip RRs
+        _, off = decode_name(buf, off)
+        rdlen = struct.unpack_from("!H", buf, off + 8)[0]
+        off += 10 + rdlen
+    changes: list[UpdateChange] = []
+    for _ in range(up):
+        name, off = decode_name(buf, off)
+        rtype, klass, ttl, rdlen = struct.unpack_from("!HHIH", buf, off)
+        off += 10
+        rdata = buf[off : off + rdlen]
+        off += rdlen
+        if rtype != QTYPE["A"]:
+            raise ValueError(f"test server only models A updates, got {rtype}")
+        ip = socket.inet_ntoa(rdata)
+        if klass == CLASS_IN:
+            changes.append(("add", name, ip, ttl))
+        elif klass == CLASS_NONE:  # §2.5.4 delete-an-RR (TTL must be 0)
+            if ttl != 0:
+                raise ValueError("delete-an-RR with non-zero TTL")
+            changes.append(("delete", name, ip, 0))
+        else:
+            raise ValueError(f"unsupported update class {klass}")
+    return mid, zone, changes
+
+
+def build_update_response(mid: int, zone: str, rcode: int) -> bytes:
+    """§3.8 response: header echoing id/opcode with QR set + rcode,
+    zone section echoed."""
+    flags = 0x8000 | (OPCODE_UPDATE << 11) | (rcode & 0xF)
+    header = struct.pack("!HHHHHH", mid, flags, 1, 0, 0, 0)
+    return header + encode_name(zone) + struct.pack("!HH", QTYPE["SOA"], 1)
+
+
 # --------------------------------------------------------------- server
 def _recv_exact(conn: socket.socket, n: int) -> bytes | None:
     buf = b""
@@ -196,6 +257,12 @@ class LoopbackDnsServer:
 
     ``script(zone, req_serial) -> list[WireRR]`` supplies the transfer
     answer; requests observed are recorded in ``self.requests``.
+
+    RFC 2136 UPDATE requests (opcode 5) are dispatched to
+    ``update_handler(zone, changes) -> rcode`` — typically a closure
+    over a :class:`ZoneStore` so the server's state is resolvable by
+    the same oracle the reference's sink tests use
+    (DnsSinkRelationProviderTest.java:182-197).  No handler ⇒ NOTIMP.
     """
 
     def __init__(
@@ -203,14 +270,16 @@ class LoopbackDnsServer:
         script: Callable[[str, int], Sequence[WireRR]],
         soa_serial: int = 0,
         split: int = 2,
+        update_handler: Callable[[str, list[UpdateChange]], int] | None = None,
     ):
         self.script = script
         self.soa_serial = soa_serial
+        self.update_handler = update_handler
         self.split = max(1, split)
         self.requests: list[dict] = []
         self._tcp = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._tcp.bind(("127.0.0.1", 0))
-        self._tcp.listen(4)
+        self._tcp.listen(32)  # Spark writes partitions concurrently
         self._udp = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self._udp.bind(("127.0.0.1", self._tcp.getsockname()[1]))
         self.port = self._tcp.getsockname()[1]
@@ -227,27 +296,48 @@ class LoopbackDnsServer:
                 conn, _ = self._tcp.accept()
             except OSError:
                 return  # closed
-            with conn:
-                hdr = _recv_exact(conn, 2)
-                if hdr is None:
-                    continue
-                raw = _recv_exact(conn, int.from_bytes(hdr, "big"))
-                if raw is None:
-                    continue
-                q = parse_message(raw)
-                req_serial = q.authority[0][3] if q.authority else 0
+            # one thread per connection: executor partitions connect
+            # concurrently (ZoneStore mutation stays safe via flock)
+            threading.Thread(
+                target=self._handle_tcp, args=(conn,), daemon=True
+            ).start()
+
+    def _handle_tcp(self, conn: socket.socket) -> None:
+        with conn:
+            hdr = _recv_exact(conn, 2)
+            if hdr is None:
+                return
+            raw = _recv_exact(conn, int.from_bytes(hdr, "big"))
+            if raw is None:
+                return
+            if message_opcode(raw) == OPCODE_UPDATE:
+                mid, zone, changes = parse_update_message(raw)
                 self.requests.append(
-                    {"qname": q.qname, "qtype": q.qtype, "serial": req_serial}
+                    {"qname": zone, "qtype": "UPDATE",
+                     "changes": list(changes)}
                 )
-                rrs = list(self.script(q.qname, req_serial))
-                # RFC 5936 §2: a transfer legitimately spans messages —
-                # split so the client MUST fold across messages.
-                per = max(1, (len(rrs) + self.split - 1) // self.split)
-                for i in range(0, len(rrs), per):
-                    wire = build_response(
-                        q.mid, q.qname, q.qtype, rrs[i : i + per]
-                    )
-                    conn.sendall(len(wire).to_bytes(2, "big") + wire)
+                rcode = (
+                    self.update_handler(zone, changes)
+                    if self.update_handler is not None
+                    else 4  # NOTIMP
+                )
+                wire = build_update_response(mid, zone, rcode)
+                conn.sendall(len(wire).to_bytes(2, "big") + wire)
+                return
+            q = parse_message(raw)
+            req_serial = q.authority[0][3] if q.authority else 0
+            self.requests.append(
+                {"qname": q.qname, "qtype": q.qtype, "serial": req_serial}
+            )
+            rrs = list(self.script(q.qname, req_serial))
+            # RFC 5936 §2: a transfer legitimately spans messages —
+            # split so the client MUST fold across messages.
+            per = max(1, (len(rrs) + self.split - 1) // self.split)
+            for i in range(0, len(rrs), per):
+                wire = build_response(
+                    q.mid, q.qname, q.qtype, rrs[i : i + per]
+                )
+                conn.sendall(len(wire).to_bytes(2, "big") + wire)
                 # connection close marks end-of-transfer for the shim
 
     def _serve_udp(self) -> None:
