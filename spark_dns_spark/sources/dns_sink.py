@@ -216,13 +216,22 @@ class DnsUpdateDataSource(DataSource):
 
         return WRITE_SCHEMA
 
+    #: spark.dns.* conf snapshot baked in by register_all (options.py)
+    _conf_defaults: dict = {}
+
+    def _resolved_options(self) -> dict:
+        from spark_dns_spark.sources.options import apply_defaults  # noqa: PLC0415
+
+        return apply_defaults(self.options, self._conf_defaults)
+
     def writer(self, schema: StructType, overwrite: bool) -> DnsUpdateWriter:
-        return DnsUpdateWriter(self.options)  # SaveMode ignored (S8)
+        # SaveMode ignored (S8)
+        return DnsUpdateWriter(self._resolved_options())
 
     def streamWriter(
         self, schema: StructType, overwrite: bool
     ) -> DnsUpdateStreamWriter:
-        return DnsUpdateStreamWriter(self.options)
+        return DnsUpdateStreamWriter(self._resolved_options())
 
 
 def send_updates(df: DataFrame, store: str, global_dedup: bool = True, **options):

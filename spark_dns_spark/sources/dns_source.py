@@ -355,10 +355,21 @@ class DnsDataSource(DataSource):
                 "user-supplied schemas are not supported"
             )
 
+    #: spark.dns.* conf snapshot baked in by register_all (options.py):
+    #: persistent catalog tables reach reader() with EMPTY options, in
+    #: a worker process with no session — the snapshot rides on the
+    #: cloudpickled class instead.
+    _conf_defaults: dict = {}
+
+    def _resolved_options(self) -> dict:
+        from spark_dns_spark.sources.options import apply_defaults  # noqa: PLC0415
+
+        return apply_defaults(self.options, self._conf_defaults)
+
     def reader(self, schema: StructType) -> DnsBatchReader:
         self._check_schema(schema)
-        return DnsBatchReader(self.options)
+        return DnsBatchReader(self._resolved_options())
 
     def streamReader(self, schema: StructType) -> DnsStreamReader:
         self._check_schema(schema)
-        return DnsStreamReader(self.options)
+        return DnsStreamReader(self._resolved_options())

@@ -32,6 +32,53 @@ def _get(options: dict, key: str, default=None):
     return default
 
 
+#: Session-conf fallback namespace for persistent catalog tables.
+#: Spark 4.1's Python Data Source catalog integration stores a
+#: persistent table's SCHEMA but forwards EMPTY options to the reader
+#: (probed r7; reference SQL tests use real catalog tables,
+#: DnsSourceRelationProviderTest.java:228-241).  So that
+#: ``CREATE TABLE ... USING dns`` is actually usable, every option can
+#: also be supplied as ``spark.dns.<option>`` session conf — explicit
+#: datasource options always win; conf only fills absent keys.
+CONF_PREFIX = "spark.dns."
+CONF_KEYS = (
+    "store", "server", "port", "timeout", "organization", "zones",
+    "xfr", "serial", "ignore-failures", "fail-zones",
+    "max-kept-commits", "max-changes-per-batch", "transport",
+)
+
+
+def conf_snapshot(spark) -> dict:
+    """Read the ``spark.dns.*`` conf namespace from a LIVE session.
+
+    Called by ``register_all`` in the driver's main process, where the
+    runtime conf exists; the snapshot is then baked into the registered
+    datasource classes because readers/writers are constructed in
+    planning worker processes that have no session at all (probed on
+    Spark 4.1: ``SparkSession.getActiveSession()`` is None inside
+    ``pyspark.sql.worker.plan_data_source_read``).
+    """
+    out: dict = {}
+    for key in CONF_KEYS:
+        try:
+            v = spark.conf.get(CONF_PREFIX + key, None)
+        except Exception:  # pragma: no cover - conf access failure
+            v = None
+        if v is not None:
+            out[key] = v
+    return out
+
+
+def apply_defaults(options: dict, defaults: dict) -> dict:
+    """Fill absent option keys from a conf snapshot — explicit
+    datasource options always win."""
+    out = dict(options)
+    for key, v in defaults.items():
+        if _get(out, key) is None:
+            out[key] = v
+    return out
+
+
 @dataclass
 class DnsOptions:
     """Common options (read + write): the store path stands in for
@@ -52,8 +99,9 @@ class DnsOptions:
                 "Spark's Python Data Source catalog integration does not "
                 "round-trip table OPTIONS to the reader (observed on "
                 "Spark 4.1: the catalog stores the schema but forwards "
-                "empty options) — use CREATE TEMPORARY VIEW ... USING "
-                "dns OPTIONS (...) or spark.read.format('dns') instead"
+                "empty options) — set session conf spark.dns.store (and "
+                "spark.dns.zones etc.), or use CREATE TEMPORARY VIEW ... "
+                "USING dns OPTIONS (...) / spark.read.format('dns')"
             )
         port = int(_get(options, "port", 53))
         if not (1 <= port < (2 << 16) - 1):  # quirk: 131071, not 65536

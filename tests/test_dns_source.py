@@ -224,13 +224,14 @@ def test_timeout_fail_and_suppress_matrix(spark, store):
                  xfr="axfr", ignore_failures="true").count() == 5
 
 
-def test_persistent_table_options_limitation(spark, store):
+def test_persistent_table_via_conf_fallback(spark, store):
     """Reference SQL tests use persistent CREATE TABLE ... USING dns
     (DnsSourceRelationProviderTest.java:228-241).  On Spark 4's Python
     Data Source API the catalog stores the schema but forwards EMPTY
-    options to the reader, so the first read fails — pin that failure
-    mode to a clear, documented error (README 'SQL surface') instead of
-    letting it drift silently."""
+    options to the reader — so (a) without any fallback the read fails
+    with a clear, documented error (pinned here), and (b) with
+    ``spark.dns.*`` session conf set the table actually WORKS
+    (VERDICT-r7 item 3), making the SQL surface usable end-to-end."""
     from pyspark.errors import AnalysisException
 
     register_all(spark)
@@ -244,7 +245,34 @@ def test_persistent_table_options_limitation(spark, store):
         cols = [f.name for f in spark.table("dns_persistent_probe").schema]
         assert cols == ["action", "fqdn", "ip", "organization",
                         "timestamp", "zone"]
+        # (a) options did NOT survive: pinned clear error, now pointing
+        # at the conf fallback
         with pytest.raises(AnalysisException, match="missing required option: store"):
             spark.sql("SELECT * FROM dns_persistent_probe").collect()
+        # (b) session-conf fallback makes the catalog table usable:
+        # set spark.dns.*, re-register so the snapshot is baked into
+        # the datasource class (readers are constructed in a worker
+        # process with no session — see register_all's docstring)
+        spark.conf.set("spark.dns.store", store.root)
+        spark.conf.set("spark.dns.zones", "example.acme.")
+        spark.conf.set("spark.dns.xfr", "axfr")
+        register_all(spark)
+        rows = spark.sql(
+            "SELECT fqdn, ip FROM dns_persistent_probe ORDER BY fqdn"
+        ).collect()
+        assert len(rows) == 3
+        assert all(r["fqdn"].endswith("example.acme.") for r in rows)
+        # explicit datasource options still WIN over session conf
+        direct = (
+            spark.read.format("dns")
+            .option("store", store.root)
+            .option("zones", "another.zone.")
+            .option("xfr", "axfr")
+            .load()
+        )
+        assert direct.select("zone").distinct().collect()[0][0] == "another.zone."
     finally:
+        for k in ("spark.dns.store", "spark.dns.zones", "spark.dns.xfr"):
+            spark.conf.unset(k)
+        register_all(spark)  # re-register with a clean (empty) snapshot
         spark.sql("DROP TABLE IF EXISTS dns_persistent_probe")
