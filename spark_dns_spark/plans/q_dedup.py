@@ -42,12 +42,19 @@ WITH toks AS (
 """
 
 
-def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _signatures(
+    spark: SparkSession, sf_dir: str, where: F.Column | None = None
+) -> DataFrame:
     """(doc_id, hs, mh0..mhK) — one md5 per shingle, K affine reseeds.
 
     ``hs`` (the distinct shingle-hash set) doubles as the exact-Jaccard
-    verification payload, so raw text never enters any join."""
+    verification payload, so raw text never enters any join.
+    ``where`` restricts the scan BEFORE tokenization (pushed to the
+    parquet read), so the incremental path's signature cost is
+    proportional to the batch, not the corpus."""
     docs = spread(load_table(spark, sf_dir, "documents"))
+    if where is not None:
+        docs = docs.filter(where)
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
     sh = toks.select("doc_id", dd.word_shingles("t", SHINGLE_N).alias("sh"))
     # persist BEFORE the filter and the 12-way signature fan-out:
@@ -154,6 +161,164 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_T)
     )
     return pairs.select("id_a", "id_b", "jaccard")
+
+
+#: Incremental-batch membership: doc_id % 10 == 7 is "the new crawl
+#: batch", everything else is "the already-indexed corpus".
+BATCH_MOD, BATCH_REM = 10, 7
+
+#: process-lifetime cache of built corpus signature indexes, keyed by
+#: sf_dir — build-once/query-many, exactly like a production pipeline
+#: that maintains the index as a table between crawl batches.
+_MINHASH_INDEX: dict[str, str] = {}
+
+
+def minhash_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process per sf) the persisted corpus MinHash
+    index: ``bands/`` (doc_id, band_idx, band_key) and ``sigs/``
+    (doc_id, hs) parquet tables for all NON-batch docs."""
+    if sf_dir not in _MINHASH_INDEX:
+        from spark_dns_spark.plans.feeds import scratch_dir  # noqa: PLC0415
+
+        root = scratch_dir("minhash_idx_")
+        corpus = _signatures(
+            spark, sf_dir,
+            where=F.col("doc_id") % BATCH_MOD != BATCH_REM,
+        ).persist()
+        bands = corpus.select(
+            "doc_id", *dd.band_keys(NUM_HASHES, ROWS_PER_BAND)
+        )
+        exploded = bands.select(
+            "doc_id",
+            F.posexplode(
+                F.array(*[F.col(f"band{b}") for b in range(NUM_BANDS)])
+            ).alias("band_idx", "band_key"),
+        )
+        exploded.write.mode("overwrite").parquet(f"{root}/bands")
+        corpus.select("doc_id", "hs").write.mode("overwrite").parquet(
+            f"{root}/sigs"
+        )
+        corpus.unpersist()
+        _MINHASH_INDEX[sf_dir] = root
+    return _MINHASH_INDEX[sf_dir]
+
+
+@register(
+    "dedup_minhash_incremental",
+    _SIG_CTE
+    + f"""
+, banded AS (
+  SELECT doc_id, band_idx,
+         mhs[band_idx*{ROWS_PER_BAND}+1] || ',' || mhs[band_idx*{ROWS_PER_BAND}+2]
+           AS band_key
+  FROM (
+    SELECT doc_id,
+           [{", ".join(f"CAST(mh{k} AS VARCHAR)" for k in range(NUM_HASHES))}] AS mhs
+    FROM sig
+  ), (SELECT unnest(generate_series(0, {NUM_BANDS - 1})) AS band_idx)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(jac, 4) AS jaccard,
+       CASE WHEN id_a % {BATCH_MOD} = {BATCH_REM}
+             AND id_b % {BATCH_MOD} = {BATCH_REM}
+            THEN 'new_new' ELSE 'new_corpus' END AS pair_kind
+FROM (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+         / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jac
+  FROM cand
+  JOIN sig sa ON sa.doc_id = id_a
+  JOIN sig sb ON sb.doc_id = id_b
+) WHERE jac >= {JACCARD_T}
+  AND (id_a % {BATCH_MOD} = {BATCH_REM} OR id_b % {BATCH_MOD} = {BATCH_REM})
+""",
+    doc="INCREMENTAL near-dup dedup (VERDICT-r7 item 4): the corpus's "
+    "signature+band tables are a persisted parquet index (built once "
+    "per process, minhash_index_path); a new crawl batch (doc_id%10==7) "
+    "computes signatures for ITS docs only, band-joins against the "
+    "index (new-vs-corpus) and itself (new-vs-new), then verifies "
+    "exact Jaccard >= 0.5.  Batch cost is proportional to the delta: "
+    "the corpus text is never re-tokenized, the only corpus reads are "
+    "one scan of each skinny index table (asserted in "
+    "tests/test_incremental_minhash.py).  Oracle = the full-corpus LSH "
+    "pairs restricted to pairs touching the batch",
+    tags=("dedup", "minhash", "lsh", "incremental"),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = minhash_index_path(spark, sf_dir)
+    idx_bands = spark.read.parquet(f"{root}/bands")
+    idx_sigs = spark.read.parquet(f"{root}/sigs")
+
+    # Δ only: the predicate is pushed into the parquet scan, so this
+    # lineage never touches corpus text.  persist(): fans out to the
+    # two candidate joins + verification.
+    delta = (
+        _signatures(
+            spark, sf_dir, where=F.col("doc_id") % BATCH_MOD == BATCH_REM
+        )
+        .select("doc_id", "hs", *dd.band_keys(NUM_HASHES, ROWS_PER_BAND))
+        .persist()
+    )
+    d_bands = delta.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"band{b}") for b in range(NUM_BANDS)])
+        ).alias("band_idx", "band_key"),
+    )
+    d_hs = delta.select("doc_id", "hs")
+
+    # new-vs-corpus: probe the persisted band index (shuffle keys are
+    # (band_idx, band_key); at 100 TB the index is bucketed on them so
+    # the probe co-locates without a corpus-side shuffle)
+    cand_nc = (
+        d_bands.alias("d")
+        .join(idx_bands.alias("i"), ["band_idx", "band_key"])
+        .select(
+            F.col("d.doc_id").alias("did"), F.col("i.doc_id").alias("cid")
+        )
+        .distinct()
+    )
+    pairs_nc = (
+        cand_nc.join(d_hs.withColumnRenamed("doc_id", "did"), "did")
+        .join(
+            idx_sigs.withColumnRenamed("doc_id", "cid")
+            .withColumnRenamed("hs", "hs_c"),
+            "cid",
+        )
+        .withColumn(
+            "jaccard", F.round(dd.jaccard(F.col("hs"), F.col("hs_c")), 4)
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select(
+            F.least("did", "cid").alias("id_a"),
+            F.greatest("did", "cid").alias("id_b"),
+            "jaccard",
+            F.lit("new_corpus").alias("pair_kind"),
+        )
+    )
+
+    # new-vs-new: LSH self-join within the batch only
+    cand_nn = dd.lsh_candidates(delta, "doc_id", NUM_BANDS)
+    pairs_nn = (
+        cand_nn.join(d_hs.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .join(
+            d_hs.withColumnRenamed("doc_id", "id_b")
+            .withColumnRenamed("hs", "hs_b"),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard", F.round(dd.jaccard(F.col("hs"), F.col("hs_b")), 4)
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select(
+            "id_a", "id_b", "jaccard", F.lit("new_new").alias("pair_kind")
+        )
+    )
+    return pairs_nc.unionByName(pairs_nn)
 
 
 @register(
