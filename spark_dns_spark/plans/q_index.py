@@ -49,22 +49,29 @@ SELECT term, count(*)::BIGINT AS df_count,
 FROM terms GROUP BY term HAVING count(*) >= {MIN_DF}
 """,
     doc="inverted-index build: whitespace tokens (the q_text tokenizer) "
-    "deduped per (term, doc), document frequency + a sorted 16-doc "
-    "posting sample; the sample is selected by row_number INSIDE the "
-    "term-keyed shuffle before any collect, so per-term state is "
-    "bounded however common the term — distinct and window share one "
-    "hash partitioning, the agg adds no exchange",
+    "deduped per (term, doc) MAP-SIDE (array_distinct before the "
+    "explode — a doc's token set IS the distinct relation, so no "
+    "distinct aggregate and no (doc,term) exchange exists at all), "
+    "then document frequency + a sorted 16-doc posting sample; the "
+    "sample is selected by row_number INSIDE the single term-keyed "
+    "shuffle before any collect, so per-term state is bounded however "
+    "common the term.  One exchange total, shuffling exactly the "
+    "distinct (doc, term) pairs (r8: was two — the r7 shape shuffled "
+    "raw pairs for a distinct, then reshuffled for the window)",
     tags=("index", "text", "agg"),
 )
 def index_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    terms = (
-        docs.select(
-            "doc_id",
-            F.explode(F.split("text", " ")).alias("term"),
-        )
-        .filter(F.col("term").rlike("^[a-z]{3,}$"))
-        .distinct()
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split("text", " "),
+                    lambda t: t.rlike("^[a-z]{3,}$"),
+                )
+            )
+        ).alias("term"),
     )
     rn = F.row_number().over(
         Window.partitionBy("term").orderBy("doc_id")
