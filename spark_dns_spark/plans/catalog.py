@@ -353,6 +353,29 @@ _ROTATION_R7: dict[str, int] = {
     "snapshot_diff_orders": 6,
 }
 
+#: Round-8 rotation, layered over r4+r6+r7 (later map wins).  The two
+#: NEW r8 queries (dedup_minhash_incremental, similarity_ivf_build)
+#: enter via the tier-5 default; similarity_topk_ivf (now serving from
+#: the stored index) and index_inverted_postings (one-exchange rebuild)
+#: are already in-window from r7/r5.
+_ROTATION_R8: dict[str, int] = {
+    # rotate IN — the dns_update writer was refactored this round (ttl
+    # plumb + wire-transport branch share the store path's dedup/apply
+    # code), so the sink roundtrip re-enters the window.
+    "dns_stream_sink_roundtrip": 5,
+    # rotate OUT — r7-green, untouched r8, holding the window at 50;
+    # family reps remaining in-window: the events window family keeps
+    # gap_fill/cusum/user_zscore/quantile_normalize (funnel out), the
+    # join family keeps the four TPC-H subquery shapes + asof/range
+    # (basket lift out), and cooccurrence's windowed-pairs shape is
+    # structurally covered by cooccur's own full-gate row plus the
+    # in-window glove-style aggregations (sessions/rolling).  All three
+    # stay under the full-catalog oracle gate every round.
+    "cooccurrence_glove_window": 6,
+    "events_funnel_conversion": 6,
+    "basket_copurchase_lift": 6,
+}
+
 
 def register(
     name: str,
@@ -425,7 +448,9 @@ def catalog() -> dict[str, Query]:
     )
 
     order = {n: i for i, n in enumerate(_REGISTRY)}
-    rotation = {**_ROTATION_R4, **_ROTATION_R6, **_ROTATION_R7}
+    rotation = {
+        **_ROTATION_R4, **_ROTATION_R6, **_ROTATION_R7, **_ROTATION_R8,
+    }
     for q in _REGISTRY.values():
         q.tier = rotation.get(q.name, q.tier)
     return {

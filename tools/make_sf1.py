@@ -1,0 +1,140 @@
+"""Deterministic sf1 generator (VERDICT-r7 item 2): 10x re-keyed
+growth of the sf0.1 heavy-tier tables, so the dedup/ANN/CC/packing/
+graph tiers can be oracle-checked and benched at 100x the driver's
+sf0.01 gate scale.
+
+Only the tables those tiers read are scaled — ``documents``,
+``embeddings``, ``events`` — the TPC-H tables are copied through at
+sf0.1 (no heavy-tier query joins them, and re-keying their foreign-key
+web would add risk for zero evidence).  Copy k of a row gets key
+``id + k*10_000_000``; the offset is a multiple of every modulus the
+catalog derives semantics from (doc batches ``% 10``, ANN queries
+``% 50``, heavy-hitter keys ``% 2 / % 16 / % 100000``), so per-copy
+residue classes are preserved exactly.
+
+Growth must not be DEGENERATE duplication — 10 identical copies would
+make every doc a 9-way exact twin and every vector tied at cosine 1.0,
+inflating the near-dup graph quadratically instead of linearly.  Each
+copy is therefore transformed by a structure-preserving bijection:
+
+- documents: every whitespace token gets a per-copy all-lowercase
+  suffix (copy 0 unchanged) — within-copy shingle/Jaccard structure is
+  IDENTICAL to sf0.1 (token bijection), across copies the shingle
+  spaces are disjoint, so near-dup pairs scale exactly 10x;
+- embeddings: per-copy cyclic rotation of the 64 dimensions (shift
+  7k mod 64) — rotation preserves every within-copy inner product and
+  norm bit-for-bit, while cross-copy similarities fall to background
+  levels (realistic corpus growth, not a 10-way tie);
+- events: pure key offsets (event_id, user_id) — 10x users with the
+  same per-user temporal structure; session/graph/timeseries work
+  scales linearly by construction.
+
+Usage: python tools/make_sf1.py [out_dir]   (default .scratch/sf1)
+Idempotent via a .complete.v1 marker; ~20 s, ~200 MB.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+from pathlib import Path
+
+import duckdb
+
+COPIES = 10
+OFF = 10_000_000
+SRC = "/root/testdata/sf0.1"
+DIM = 64
+
+PASSTHROUGH = (
+    "region nation customer supplier part orders lineitem".split()
+)
+
+
+def build(out_dir: str) -> str:
+    out = Path(out_dir)
+    marker = out / ".complete.v1"
+    if marker.exists():
+        return str(out)
+    out.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    con.execute("SET threads=8")
+    copies = f"(SELECT unnest(range({COPIES})) AS k)"
+
+    # documents: per-copy token suffix 'q'+letter (keeps [a-z]{3,}
+    # token-shape predicates true); n_chars recomputed for the new text
+    con.execute(
+        f"""
+COPY (
+  SELECT d.doc_id + c.k*{OFF} AS doc_id,
+         CASE WHEN c.k = 0 THEN d.text
+              ELSE array_to_string(
+                     list_transform(string_split(d.text, ' '),
+                                    t -> t || 'q' || chr(97 + c.k::INT)),
+                     ' ')
+         END AS text,
+         d.lang, d.source,
+         CASE WHEN c.k = 0 THEN d.n_chars
+              ELSE len(array_to_string(
+                     list_transform(string_split(d.text, ' '),
+                                    t -> t || 'q' || chr(97 + c.k::INT)),
+                     ' '))::BIGINT
+         END AS n_chars
+  FROM read_parquet('{SRC}/documents.parquet') d, {copies} c
+  ORDER BY doc_id
+) TO '{out}/documents.parquet' (FORMAT PARQUET)
+"""
+    )
+
+    # embeddings: cyclic dim rotation by 7k mod 64 per copy
+    con.execute(
+        f"""
+COPY (
+  SELECT e.vec_id + c.k*{OFF} AS vec_id,
+         CASE WHEN c.k = 0 THEN e.embedding
+              ELSE CAST(list_concat(
+                     e.embedding[((7*c.k) % {DIM}) + 1 : {DIM}],
+                     e.embedding[1 : (7*c.k) % {DIM}]
+                   ) AS FLOAT[])
+         END AS embedding,
+         e.label
+  FROM read_parquet('{SRC}/embeddings.parquet') e, {copies} c
+  ORDER BY vec_id
+) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+"""
+    )
+
+    # events: key offsets only
+    con.execute(
+        f"""
+COPY (
+  SELECT e.event_id + c.k*{OFF} AS event_id, e.ts,
+         e.user_id + c.k*{OFF} AS user_id,
+         e.event_type, e.value, e.props
+  FROM read_parquet('{SRC}/events.parquet') e, {copies} c
+  ORDER BY event_id
+) TO '{out}/events.parquet' (FORMAT PARQUET)
+"""
+    )
+
+    for t in PASSTHROUGH:
+        shutil.copyfile(f"{SRC}/{t}.parquet", out / f"{t}.parquet")
+
+    # sanity: rotation really preserved within-copy geometry
+    n0, n1 = con.execute(
+        f"""
+SELECT (SELECT count(*) FROM read_parquet('{SRC}/documents.parquet')),
+       (SELECT count(*) FROM read_parquet('{out}/documents.parquet'))
+"""
+    ).fetchone()
+    assert n1 == COPIES * n0, (n0, n1)
+    marker.touch()
+    return str(out)
+
+
+if __name__ == "__main__":
+    dest = sys.argv[1] if len(sys.argv) > 1 else str(
+        Path(__file__).resolve().parent.parent / ".scratch" / "sf1"
+    )
+    print(build(dest))
