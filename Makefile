@@ -29,3 +29,9 @@ plan-audit:
 
 bench:
 	python bench.py
+
+# 10x-growth evidence: generate sf1, oracle-check the heavy tiers,
+# time the top-10 slowest for scaling ratios (VERDICT r7 item 2)
+sf1:
+	python tools/make_sf1.py
+	python tools/bench_sf1.py --json SCALE_SF1_$(ROUND).json
