@@ -91,6 +91,11 @@ HEADLINE = [
     "vocab_bpe_apply",
     "mlprep_leakage_free_split",
     "dns_ip_cidr_attribution",
+    # round-8 tier (54 -> 56): the incremental-dedup probe and the
+    # stored-index IVF serve path (prefix comparisons vs prior rounds
+    # still use the 27/31/38/44/49/50/54 boundaries)
+    "dedup_minhash_incremental",
+    "similarity_topk_ivf",
 ]
 
 
@@ -180,7 +185,7 @@ def main() -> None:
         names = [q for q in HEADLINE[:n] if q in d]
         return round(sum(d[q] for q in names), 3)
 
-    bounds = [27, 31, 38, 44, 49, 50, len(HEADLINE)]
+    bounds = [27, 31, 38, 44, 49, 50, 54, len(HEADLINE)]
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     )
