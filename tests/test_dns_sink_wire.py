@@ -222,6 +222,47 @@ def test_wire_connection_refused_raises():
         )
 
 
+def test_wire_sql_insert(spark, wire):
+    """S9 over sockets: INSERT INTO a dns_update temp view whose
+    options select the wire transport."""
+    server, zstore = wire
+    register_all(spark)
+    spark.sql(
+        f"""CREATE OR REPLACE TEMPORARY VIEW dns_wire_out USING dns_update
+            OPTIONS (server '127.0.0.1', port '{server.port}',
+                     transport 'wire')"""
+    )
+    spark.sql(
+        """INSERT INTO dns_wire_out
+           SELECT 'IXFR_ADD' AS action, 'sqlwire.example.acme' AS fqdn,
+                  '8.8.4.4' AS ip, TIMESTAMP '2024-01-01 00:00:00' AS timestamp,
+                  60 AS ttl"""
+    )
+    assert zstore.resolve("example.acme.", "sqlwire.example.acme.") == ["8.8.4.4"]
+
+
+def test_wire_send_updates_global_dedup(spark, wire):
+    """send_updates' global dedup + zone repartition composes with the
+    wire transport: conflicting updates across partitions collapse to
+    one message stream, latest wins."""
+    server, zstore = wire
+    register_all(spark)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("IXFR_ADD", "w.example.acme", "3.3.3.3", base, 1),
+        ("IXFR_DELETE", "w.example.acme", "3.3.3.3",
+         base + dt.timedelta(hours=1), 1),
+    ]
+    from spark_dns_spark.sources.dns_sink import send_updates
+
+    df = spark.createDataFrame(rows, SCHEMA).repartition(2)
+    send_updates(
+        df, "127.0.0.1", transport="wire", port=str(server.port)
+    )
+    # add applies then the later delete: resolves to nothing
+    assert zstore.resolve("example.acme.", "w.example.acme.") == []
+
+
 def test_wire_streaming_sink(spark, wire, tmp_path):
     """S10 over sockets: native writeStream.format('dns_update') with
     transport=wire — each micro-batch becomes RFC 2136 messages."""
