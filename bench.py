@@ -96,6 +96,9 @@ HEADLINE = [
     # still use the 27/31/38/44/49/50/54 boundaries)
     "dedup_minhash_incremental",
     "similarity_topk_ivf",
+    # round-8 continuation tier (56 -> 58): BM25 retrieval + PQ codes
+    "index_bm25_topk",
+    "similarity_pq_codes",
 ]
 
 
@@ -185,7 +188,7 @@ def main() -> None:
         names = [q for q in HEADLINE[:n] if q in d]
         return round(sum(d[q] for q in names), 3)
 
-    bounds = [27, 31, 38, 44, 49, 50, 54, len(HEADLINE)]
+    bounds = [27, 31, 38, 44, 49, 50, 54, 56, len(HEADLINE)]
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     )

@@ -374,6 +374,17 @@ _ROTATION_R8: dict[str, int] = {
     "cooccurrence_glove_window": 6,
     "events_funnel_conversion": 6,
     "basket_copurchase_lift": 6,
+    # rotate IN — NEW r8 continuation: index_bm25_topk (integer-exact
+    # BM25 retrieval) and similarity_pq_codes (PQ codebooks) enter at
+    # the tier-5 default.  Out, both green in r6+r7 and untouched r8,
+    # each with an in-window family representative: events_gap_fill_
+    # ffill (the events window family keeps cusum/user_zscore/
+    # quantile_normalize in-window) and orders_retention_cohorts (the
+    # relational-window family keeps scd2_intervals + the TPC-H
+    # subquery shapes in-window).  Both stay under the full-catalog
+    # oracle gate and the bench every round.
+    "events_gap_fill_ffill": 6,
+    "orders_retention_cohorts": 6,
 }
 
 
@@ -440,6 +451,8 @@ def catalog() -> dict[str, Query]:
         q_relational,
         q_timeseries,
         q_index,
+        q_retrieval,
+        q_pq,
         q_validate,
         q_streaming,
         q_bpe,

@@ -35,6 +35,9 @@ BNLJ_OK = {
     # 1-row corpus count (N for idf) cross-joined onto the vocab-sized
     # doc-frequency dim — same single-row-broadcast class
     "tfidf_top_terms",
+    # 1-row corpus stats (n_docs, avgdl) cross-joined onto the
+    # (doc, term) tf relation — same single-row-broadcast class
+    "index_bm25_topk",
     # 1-row stream total cross-joined onto the candidate-count dim
     "heavy_hitters_events",
     # two 1-row conditional-aggregate relations joined for the
