@@ -385,6 +385,13 @@ _ROTATION_R8: dict[str, int] = {
     # oracle gate and the bench every round.
     "events_gap_fill_ffill": 6,
     "orders_retention_cohorts": 6,
+    # rotate IN — NEW r8 continuation 2: similarity_pq_adc_recall (the
+    # two-stage PQ-ADC serve + recall gate, tier-5 default).  Out:
+    # graph_triangle_count (r7-new, r7-green; graph_clustering_
+    # coefficient stays in-window and composes the same LSH pair
+    # graph, and the triangle count remains under the full-catalog
+    # gate + bench every round).
+    "graph_triangle_count": 6,
 }
 
 

@@ -24,3 +24,10 @@ def test_ivf_recall_floor(spark, sf_dir):
 def test_lsh_recall_floor(spark, sf_dir):
     # the LSH tier's long-standing ~0.80 level, gated at the r3 bar
     assert _mean_recall_e4(spark, sf_dir, "similarity_lsh_recall") >= 7400
+
+
+def test_pq_adc_recall_floor(spark, sf_dir):
+    # two-stage PQ-ADC serve (M=16 nibble codebooks, LCG-spread seeds,
+    # scale-adaptive shortlist): measured 0.82/0.82/0.95 at
+    # sf0.001/.01/.1; gated below the measured floor
+    assert _mean_recall_e4(spark, sf_dir, "similarity_pq_adc_recall") >= 7500

@@ -21,6 +21,9 @@ BNLJ_WHITELIST = {
     # recall metrics embed the brute-force ground truth as a subplan
     "similarity_lsh_recall",
     "similarity_ivf_recall",
+    # Q-row query set broadcast onto the corpus + the recon table for
+    # the exact ground truth and the ADC scan — the same class
+    "similarity_pq_adc_recall",
     "similarity_topk_ivf",
     "dns_typosquat_levenshtein",
     # 1-row scalar aggregates (w_total, n_max) cross-joined back onto a

@@ -13,7 +13,15 @@ import pytest
 
 from spark_dns_spark.plans.catalog import catalog
 from spark_dns_spark.plans.q_kmeans import SCALE
-from spark_dns_spark.plans.q_pq import PQ_ITERS, PQ_K, PQ_M, SUBD
+from spark_dns_spark.plans.q_pq import (
+    PQ_ITERS,
+    PQ_K,
+    PQ_M,
+    SEED_A,
+    SEED_B,
+    SEED_M,
+    SUBD,
+)
 
 
 @pytest.fixture(scope="module")
@@ -41,7 +49,8 @@ def _dist(a, b):
 def replay(vectors):
     """Reference per-subspace Lloyd run with the exact same arithmetic."""
     ids = sorted(vectors)
-    seeds = [vectors[i] for i in ids[:PQ_K]]
+    seed_ids = sorted(ids, key=lambda v: ((v * SEED_A + SEED_B) % SEED_M, v))
+    seeds = [vectors[i] for i in seed_ids[:PQ_K]]
     books = []
     for m in range(PQ_M):
         off = m * SUBD
@@ -97,7 +106,8 @@ def test_training_improves_objective(result, vectors):
     floor-rounded centroid update can cost at most SUBD per cell per
     subspace, covered by the slack term)."""
     ids = sorted(vectors)
-    seeds = [vectors[i] for i in ids[:PQ_K]]
+    seed_ids = sorted(ids, key=lambda v: ((v * SEED_A + SEED_B) % SEED_M, v))
+    seeds = [vectors[i] for i in seed_ids[:PQ_K]]
     seed_err = 0
     for i in ids:
         for m in range(PQ_M):

@@ -28,6 +28,9 @@ BNLJ_OK = {
     "similarity_lsh_recall",
     "similarity_topk_ivf",
     "similarity_ivf_recall",
+    # Q-row query set broadcast onto the corpus + the recon table for
+    # the exact ground truth and the ADC scan — the same class
+    "similarity_pq_adc_recall",
     "dns_typosquat_levenshtein",
     # 1-row scalar aggregates (w_total, n_max) cross-joined onto a
     # 20-row dim — broadcast of single-row relations, the right plan
