@@ -96,11 +96,13 @@ HEADLINE = [
     # still use the 27/31/38/44/49/50/54 boundaries)
     "dedup_minhash_incremental",
     "similarity_topk_ivf",
-    # round-8 continuation tier (56 -> 59): BM25 retrieval + PQ codes
-    # + the two-stage PQ-ADC serve/recall
+    # round-8 continuation tier: BM25 retrieval + PQ codes
+    # + the two-stage PQ-ADC serve/recall + the bigram-LM scorer
+    # (56 -> 60)
     "index_bm25_topk",
     "similarity_pq_codes",
     "similarity_pq_adc_recall",
+    "quality_lm_bigram_score",
 ]
 
 

@@ -392,6 +392,12 @@ _ROTATION_R8: dict[str, int] = {
     # graph, and the triangle count remains under the full-catalog
     # gate + bench every round).
     "graph_triangle_count": 6,
+    # rotate IN — NEW r8 continuation 3: quality_lm_bigram_score
+    # (bigram-LM perplexity-filter scoring, tier-5 default).  Out:
+    # sample_weighted_priority (r7-new, r7-green; the sampling family
+    # keeps mix_token_budget_apportion in-window, and the priority
+    # sampler stays under the full-catalog gate).
+    "sample_weighted_priority": 6,
 }
 
 
@@ -460,6 +466,7 @@ def catalog() -> dict[str, Query]:
         q_index,
         q_retrieval,
         q_pq,
+        q_lm,
         q_validate,
         q_streaming,
         q_bpe,

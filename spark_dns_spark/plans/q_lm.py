@@ -1,0 +1,98 @@
+"""Statistical language-model quality scoring — the CCNet-style
+perplexity filter of a training-data pipeline, as an integer-exact
+bigram LM: the corpus trains bigram MLE probabilities, every document
+is scored by its average bigram probability, and low scores flag
+unusual/garbled text for the curation tier.
+
+``quality_lm_bigram_score``: per doc, ``score_milli`` = floor-mean over
+the doc's bigram occurrences of ``p_milli(w2|w1)`` =
+``(c(w1,w2) * 1000) div c(w1,·)`` — MLE with milli fixed-point, every
+step a positive-integer floor division, so the score is EXACTLY equal
+in both engines (the standing convention: no ln()/float perplexity, the
+monotone transform preserves every filtering decision).  Docs with no
+bigram (fewer than 2 whitespace tokens) are deliberately DROPPED, not
+scored 0 — stated here per the ADVICE-r7 coverage-drop convention.
+
+100 TB story: one (w1,w2)-keyed aggregation trains the model (map-side
+combine carries the load — the same shape as vocab_top_bigrams); the
+prefix totals derive from the bigram counts without touching the
+corpus again; both count dims broadcast back onto the occurrence
+stream (the tfidf df-broadcast precedent — above the broadcast
+envelope this becomes a bigram-keyed shuffle join and the plan is
+otherwise unchanged); the final score is one doc-keyed aggregation.
+The occurrence relation is persisted at its 2-consumer fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_dns_spark.plans.catalog import register
+from spark_dns_spark.session import load_table
+
+_LM_SQL = """
+WITH t0 AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), t AS (
+  SELECT doc_id, t FROM t0 WHERE len(t) >= 2
+), occ AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM t, LATERAL unnest(generate_series(1, len(t) - 1)) s(i)
+), cbi AS (
+  SELECT w1, w2, count(*)::BIGINT AS cbi FROM occ GROUP BY w1, w2
+), cpre AS (
+  SELECT w1, sum(cbi)::BIGINT AS cpre FROM cbi GROUP BY w1
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       (sum((cbi.cbi * 1000) // cpre.cpre) // count(*))::BIGINT
+         AS score_milli
+FROM occ JOIN cbi USING (w1, w2) JOIN cpre USING (w1)
+GROUP BY doc_id
+"""
+
+
+@register(
+    "quality_lm_bigram_score",
+    _LM_SQL,
+    doc="bigram-LM quality score (integer-exact perplexity filtering): "
+    "corpus-trained MLE p_milli(w2|w1) = (c(w1,w2)*1000) div c(w1,.), "
+    "per-doc floor-mean over its bigram occurrences; one bigram-keyed "
+    "training agg, count dims broadcast back, one doc-keyed score agg; "
+    "docs with <2 tokens are dropped (documented), low scores flag "
+    "garbled text for the curation tier",
+    tags=("text", "mlprep", "quality"),
+)
+def quality_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    occ = (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2), "
+                    "i -> named_struct("
+                    "'w1', element_at(t, i + 1), "
+                    "'w2', element_at(t, i + 2)))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+        .persist()
+    )
+    cbi = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cbi"))
+    cpre = cbi.groupBy("w1").agg(F.sum("cbi").alias("cpre"))
+    return (
+        occ.join(F.broadcast(cbi), ["w1", "w2"])
+        .join(F.broadcast(cpre), "w1")
+        .withColumn("p_milli", F.expr("(cbi * 1000) div cpre"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("sum(p_milli) div count(1)").alias("score_milli"),
+        )
+        .select("doc_id", "n_bigrams", "score_milli")
+    )
