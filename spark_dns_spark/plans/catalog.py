@@ -401,6 +401,27 @@ _ROTATION_R8: dict[str, int] = {
 }
 
 
+#: Round-9 rotation, layered over r4+r6+r7+r8 (later map wins).  The
+#: r9-new/changed queries enter via the tier-5 default or were already
+#: in-window: similarity_topk_ivfpq (NEW — the composed IVF-PQ serve),
+#: similarity_pq_codes + similarity_pq_adc_recall (REBUILT — slim fused
+#: oracle + train-once index, the r8 red-row fix), similarity_ivf_build
+#: + similarity_topk_ivf + dedup_minhash_incremental (index caches now
+#: lock + mtime keyed).  Green untouched shapes leave to hold tier 5 at
+#: ~50, each with an in-window family representative.
+_ROTATION_R9: dict[str, int] = {
+    # rotate OUT — r7-new, green r7+r8, untouched r9: the BPE family
+    # keeps vocab_bpe_merges + vocab_bpe_apply in-window; fertility
+    # stays under the full-catalog gate + bench every round.
+    "vocab_bpe_fertility": 6,
+    # rotate OUT — r7-new, green r7+r8, untouched r9: the leakage
+    # family keeps mlprep_leakage_free_split in-window; the audit's
+    # cross-split-pairs==0 invariant stays pytest-pinned and under the
+    # full-catalog gate.
+    "mlprep_split_leakage_audit": 6,
+}
+
+
 def register(
     name: str,
     sql: str | None,
@@ -477,6 +498,7 @@ def catalog() -> dict[str, Query]:
     order = {n: i for i, n in enumerate(_REGISTRY)}
     rotation = {
         **_ROTATION_R4, **_ROTATION_R6, **_ROTATION_R7, **_ROTATION_R8,
+        **_ROTATION_R9,
     }
     for q in _REGISTRY.values():
         q.tier = rotation.get(q.name, q.tier)

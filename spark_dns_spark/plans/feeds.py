@@ -18,6 +18,8 @@ import atexit
 import os
 import shutil
 import tempfile
+import threading
+from collections.abc import Callable
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,6 +33,38 @@ def scratch_dir(prefix: str) -> str:
     root = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     return root
+
+
+#: One lock for every persisted-index cache (minhash / IVF / PQ): the
+#: builds are seconds-long one-time costs, so serializing concurrent
+#: first builds is cheaper than the duplicate build + leaked scratch
+#: dir a bare dict check/insert race produces (ADVICE r8).
+_INDEX_LOCK = threading.Lock()
+
+
+def cached_index_path(
+    cache: dict, sf_dir: str, source: str, build: Callable[[str], None]
+) -> str:
+    """Thread-safe process-lifetime cache of a built parquet index.
+
+    ``build(root)`` populates a fresh scratch dir; the cache key is
+    ``(sf_dir, mtime(source parquet))`` so a regenerated backing
+    dataset invalidates the cached index within the process instead of
+    silently serving stale postings (ADVICE r8).  Double-checked
+    locking: the common hit path takes the lock only for the dict
+    lookup; a miss builds under the lock so two simultaneous first
+    calls produce ONE build and ONE scratch dir."""
+    src = os.path.join(sf_dir, source)
+    try:
+        key = (sf_dir, os.path.getmtime(src))
+    except OSError:
+        key = (sf_dir, None)
+    with _INDEX_LOCK:
+        if key not in cache:
+            root = scratch_dir("idx_")
+            build(root)
+            cache[key] = root
+        return cache[key]
 
 
 @contextmanager

@@ -167,20 +167,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: batch", everything else is "the already-indexed corpus".
 BATCH_MOD, BATCH_REM = 10, 7
 
-#: process-lifetime cache of built corpus signature indexes, keyed by
-#: sf_dir — build-once/query-many, exactly like a production pipeline
-#: that maintains the index as a table between crawl batches.
-_MINHASH_INDEX: dict[str, str] = {}
+#: process-lifetime cache of built corpus signature indexes —
+#: build-once/query-many, exactly like a production pipeline that
+#: maintains the index as a table between crawl batches; lock +
+#: source-mtime keyed via feeds.cached_index_path (ADVICE r8).
+_MINHASH_INDEX: dict = {}
 
 
 def minhash_index_path(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per process per sf) the persisted corpus MinHash
     index: ``bands/`` (doc_id, band_idx, band_key) and ``sigs/``
     (doc_id, hs) parquet tables for all NON-batch docs."""
-    if sf_dir not in _MINHASH_INDEX:
-        from spark_dns_spark.plans.feeds import scratch_dir  # noqa: PLC0415
 
-        root = scratch_dir("minhash_idx_")
+    def build(root: str) -> None:
         corpus = _signatures(
             spark, sf_dir,
             where=F.col("doc_id") % BATCH_MOD != BATCH_REM,
@@ -199,8 +198,12 @@ def minhash_index_path(spark: SparkSession, sf_dir: str) -> str:
             f"{root}/sigs"
         )
         corpus.unpersist()
-        _MINHASH_INDEX[sf_dir] = root
-    return _MINHASH_INDEX[sf_dir]
+
+    from spark_dns_spark.plans.feeds import cached_index_path  # noqa: PLC0415
+
+    return cached_index_path(
+        _MINHASH_INDEX, sf_dir, "documents.parquet", build
+    )
 
 
 @register(

@@ -313,10 +313,10 @@ def _nearest_cells(q: DataFrame, cents: list[list[int]], kk: int) -> DataFrame:
     )
 
 
-#: process-lifetime cache of built IVF indexes keyed by sf_dir —
-#: train-once/serve-many, like a production ANN service (VERDICT-r7
-#: item 5; the r7 shape retrained Lloyd inside every invocation).
-_IVF_INDEX: dict[str, str] = {}
+#: process-lifetime cache of built IVF indexes — train-once/serve-many,
+#: like a production ANN service (VERDICT-r7 item 5); lock + source-
+#: mtime keyed via feeds.cached_index_path (ADVICE r8).
+_IVF_INDEX: dict = {}
 
 
 def ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
@@ -325,27 +325,28 @@ def ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
     ``asg/`` (vec_id, cell) — the multi-assignment postings table.
     At 100 TB the postings table is additionally bucketed/partitioned
     BY cell so a probe reads only its cells' files."""
-    if sf_dir not in _IVF_INDEX:
-        from spark_dns_spark.plans.feeds import scratch_dir  # noqa: PLC0415
 
-        root = scratch_dir("ivf_idx_")
+    def build(root: str) -> None:
         n = _vectors(spark, sf_dir)
         q = km.quantize(n.select("vec_id", "v")).persist()
         cents = km.seed_cents(q, IVF_KC)
         if cents:
-            cents = km.lloyd_train(q, cents, IVF_ITERS)
-            asg = _nearest_cells(q, cents, IVF_ASSIGN)
+            cents_t = km.lloyd_train(q, cents, IVF_ITERS)
+            asg = _nearest_cells(q, cents_t, IVF_ASSIGN)
         else:  # empty corpus: schema-stable empty index
+            cents_t = []
             asg = spark.createDataFrame([], "vec_id bigint, cell bigint")
         cdf = spark.createDataFrame(
-            [(j, cv) for j, cv in enumerate(cents)],
+            [(j, cv) for j, cv in enumerate(cents_t)],
             "cell bigint, cv array<bigint>",
         )
         cdf.coalesce(1).write.mode("overwrite").parquet(f"{root}/cents")
         asg.write.mode("overwrite").parquet(f"{root}/asg")
         q.unpersist()
-        _IVF_INDEX[sf_dir] = root
-    return _IVF_INDEX[sf_dir]
+
+    from spark_dns_spark.plans.feeds import cached_index_path  # noqa: PLC0415
+
+    return cached_index_path(_IVF_INDEX, sf_dir, "embeddings.parquet", build)
 
 
 @register(

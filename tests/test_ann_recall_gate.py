@@ -31,3 +31,23 @@ def test_pq_adc_recall_floor(spark, sf_dir):
     # scale-adaptive shortlist): measured 0.82/0.82/0.95 at
     # sf0.001/.01/.1; gated below the measured floor
     assert _mean_recall_e4(spark, sf_dir, "similarity_pq_adc_recall") >= 7500
+
+
+def test_ivfpq_recall_floor(spark, sf_dir):
+    # the composed IVF-PQ serve (probe stored cells -> ADC-rank stored
+    # codes -> exact cosine re-rank): measured 0.84/0.85 at
+    # sf0.001/0.01 — the IVF tier's own ceiling; gated at the VERDICT
+    # r8 item 3 bar (>= 0.75)
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in qs["similarity_topk_bruteforce"](spark, sf_dir).collect()
+    }
+    iv = {
+        (r["query_id"], r["neighbor_id"])
+        for r in qs["similarity_topk_ivfpq"](spark, sf_dir).collect()
+    }
+    assert bf
+    assert len(bf & iv) / len(bf) >= 0.75
