@@ -103,6 +103,11 @@ HEADLINE = [
     "similarity_pq_codes",
     "similarity_pq_adc_recall",
     "quality_lm_bigram_score",
+    # round-9 tier (60 -> 62): the composed IVF-PQ serve and the
+    # 10x-query-density BM25 tier (prefix comparisons vs prior rounds
+    # use the 27/31/38/44/49/50/54/56/60 boundaries)
+    "similarity_topk_ivfpq",
+    "index_bm25_dense",
 ]
 
 

@@ -419,6 +419,11 @@ _ROTATION_R9: dict[str, int] = {
     # cross-split-pairs==0 invariant stays pytest-pinned and under the
     # full-catalog gate.
     "mlprep_split_leakage_audit": 6,
+    # rotate OUT (making room for index_bm25_dense, NEW r9): the
+    # distribution/normalization family keeps events_user_zscore +
+    # events_cusum_drift in-window; quantile_normalize stays benched
+    # and under the full-catalog gate.
+    "events_quantile_normalize": 6,
 }
 
 

@@ -16,11 +16,12 @@ scored 0 — stated here per the ADVICE-r7 coverage-drop convention.
 100 TB story: one (w1,w2)-keyed aggregation trains the model (map-side
 combine carries the load — the same shape as vocab_top_bigrams); the
 prefix totals derive from the bigram counts without touching the
-corpus again; both count dims broadcast back onto the occurrence
-stream (the tfidf df-broadcast precedent — above the broadcast
-envelope this becomes a bigram-keyed shuffle join and the plan is
-otherwise unchanged); the final score is one doc-keyed aggregation.
-The occurrence relation is persisted at its 2-consumer fan-out.
+corpus again; the count dims join back onto the occurrence stream with
+NO pinned broadcast hint (they grow with the corpus — ADVICE r8): AQE
+broadcasts them at runtime while they fit its threshold and switches
+to a bigram-keyed shuffle join past it; the final score is one
+doc-keyed aggregation.  The occurrence relation is persisted at its
+2-consumer fan-out.
 """
 
 from __future__ import annotations
@@ -58,7 +59,8 @@ GROUP BY doc_id
     doc="bigram-LM quality score (integer-exact perplexity filtering): "
     "corpus-trained MLE p_milli(w2|w1) = (c(w1,w2)*1000) div c(w1,.), "
     "per-doc floor-mean over its bigram occurrences; one bigram-keyed "
-    "training agg, count dims broadcast back, one doc-keyed score agg; "
+    "training agg, count dims joined back (AQE-chosen strategy — no "
+    "pinned broadcast of corpus-derived dims), one doc-keyed score agg; "
     "docs with <2 tokens are dropped (documented), low scores flag "
     "garbled text for the curation tier",
     tags=("text", "mlprep", "quality"),
@@ -85,9 +87,15 @@ def quality_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cbi = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cbi"))
     cpre = cbi.groupBy("w1").agg(F.sum("cbi").alias("cpre"))
+    # No broadcast HINT on the count dims: they are corpus-derived (the
+    # bigram vocabulary grows with the data), so a pinned hint would
+    # OOM executors long before 100 TB (ADVICE r8).  AQE picks the
+    # broadcast join at runtime while the dims fit its threshold and
+    # falls back to a bigram-keyed shuffle join past it — the plan is
+    # otherwise unchanged.
     return (
-        occ.join(F.broadcast(cbi), ["w1", "w2"])
-        .join(F.broadcast(cpre), "w1")
+        occ.join(cbi, ["w1", "w2"])
+        .join(cpre, "w1")
         .withColumn("p_milli", F.expr("(cbi * 1000) div cpre"))
         .groupBy("doc_id")
         .agg(

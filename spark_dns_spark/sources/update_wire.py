@@ -69,32 +69,77 @@ def encode_name(name: str) -> bytes:
     return out + b"\x00"
 
 
+#: RFC 1035 §4.2.2 frames a TCP DNS message with a 2-byte length — the
+#: whole message is hard-capped at 65535 bytes.
+MAX_MESSAGE = 0xFFFF
+
+
+def _encode_rr(change: UpdateRR) -> bytes:
+    """One Update-section RR (§2.5.1 add / §2.5.4 delete-an-RR)."""
+    action, fqdn, ip, ttl = change
+    rdata = socket.inet_aton(ip)
+    if action in (AXFR, IXFR_ADD):
+        klass, use_ttl = CLASS_IN, int(ttl)
+    elif action == IXFR_DELETE:
+        klass, use_ttl = CLASS_NONE, 0  # §2.5.4: TTL must be 0
+    else:
+        raise ValueError(f"unknown update action: {action}")
+    return (
+        encode_name(fqdn)
+        + struct.pack("!HHIH", TYPE_A, klass, use_ttl & 0xFFFFFFFF, 4)
+        + rdata
+    )
+
+
 def encode_update_message(
     zone: str, changes: list[UpdateRR], mid: int = 0
 ) -> bytes:
     """One RFC 2136 §2 UPDATE message: header (opcode 5), Zone section
     (zname, SOA, IN), empty Prerequisite section, Update section with
-    one RR per change."""
+    one RR per change.  Raises ``ValueError`` past the 64 KB TCP
+    message cap — batch callers chunk via :func:`chunk_changes`."""
     if not (0 <= mid <= 0xFFFF):
         raise ValueError(f"invalid message id: {mid}")
     header = struct.pack(
         "!HHHHHH", mid, OPCODE_UPDATE << 11, 1, 0, len(changes), 0
     )
     body = encode_name(zone) + struct.pack("!HH", TYPE_SOA, CLASS_IN)
-    for action, fqdn, ip, ttl in changes:
-        rdata = socket.inet_aton(ip)
-        if action in (AXFR, IXFR_ADD):
-            klass, use_ttl = CLASS_IN, int(ttl)
-        elif action == IXFR_DELETE:
-            klass, use_ttl = CLASS_NONE, 0  # §2.5.4: TTL must be 0
-        else:
-            raise ValueError(f"unknown update action: {action}")
-        body += (
-            encode_name(fqdn)
-            + struct.pack("!HHIH", TYPE_A, klass, use_ttl & 0xFFFFFFFF, 4)
-            + rdata
+    for change in changes:
+        body += _encode_rr(change)
+    wire = header + body
+    if len(wire) > MAX_MESSAGE:
+        raise ValueError(
+            f"DNS UPDATE message for zone {zone} is {len(wire)} bytes "
+            f"(> {MAX_MESSAGE}); chunk the change list (chunk_changes)"
         )
-    return header + body
+    return wire
+
+
+def chunk_changes(
+    zone: str, changes: list[UpdateRR]
+) -> list[list[UpdateRR]]:
+    """Split a zone's change list into sublists whose encoded UPDATE
+    messages each fit the 64 KB TCP frame, PRESERVING apply order
+    (RFC 2136 §3.4.2: update RRs apply in order, and a later message
+    only starts after the earlier one's NOERROR — so chunking keeps
+    latest-wins semantics).  A zone batch of ~2000+ A changes exceeds
+    one frame; pre-r9 this crashed to_bytes with an opaque
+    OverflowError (ADVICE r8)."""
+    fixed = 12 + len(encode_name(zone)) + 4  # header + Zone section
+    budget = MAX_MESSAGE - fixed
+    out: list[list[UpdateRR]] = []
+    cur: list[UpdateRR] = []
+    used = 0
+    for change in changes:
+        size = len(_encode_rr(change))
+        if cur and used + size > budget:
+            out.append(cur)
+            cur, used = [], 0
+        cur.append(change)
+        used += size
+    if cur:
+        out.append(cur)
+    return out
 
 
 def parse_update_response(buf: bytes, want_mid: int) -> int:
@@ -132,29 +177,42 @@ def send_update(
     zone: str,
     changes: list[UpdateRR],
 ) -> None:
-    """TCP-send one UPDATE message for ``zone`` and require rcode 0.
+    """TCP-send ``zone``'s changes, requiring rcode 0 for every message.
 
-    Deterministic message id derived from the zone (no RNG in the
-    executor path; a single connection never has two messages in
-    flight, so uniqueness across connections is not load-bearing —
-    the id only ties THIS response to THIS request).
+    Change lists whose single UPDATE message would exceed the 64 KB
+    TCP frame (roughly >2000 A changes) are chunked into multiple
+    in-order messages over ONE connection (ADVICE r8 — pre-r9 this
+    path crashed on ``to_bytes`` overflow); each message must NOERROR
+    before the next is sent, so a mid-batch failure never reorders
+    later changes past it.
+
+    Deterministic message ids derived from the zone + chunk index (no
+    RNG in the executor path; a single connection never has two
+    messages in flight, so uniqueness across connections is not
+    load-bearing — the id only ties THIS response to THIS request).
     """
-    mid = (sum(zone.encode("ascii")) * 131 + len(changes)) & 0xFFFF
-    wire = encode_update_message(zone, changes, mid=mid)
+    chunks = chunk_changes(zone, changes)
     with socket.create_connection((server, port), timeout=timeout) as s:
-        s.sendall(len(wire).to_bytes(2, "big") + wire)
-        raw = _recv_exact(s, int.from_bytes(_recv_exact(s, 2), "big"))
-    rcode = parse_update_response(raw, mid)
-    if rcode == RCODE_NOTAUTH:
-        # not authoritative for the zone == the file store's unknown
-        # zone: keep ignore-failures semantics transport-independent
-        raise ZoneNotFoundError(
-            f"DNS UPDATE refused: server not authoritative for {zone}"
-        )
-    if rcode != 0:
-        # reference behavior: any non-NOERROR response is a hard
-        # failure (DnsUpdate.java:76-80)
-        raise OSError(
-            "DNS UPDATE failed: rcode="
-            f"{RCODE_TEXT.get(rcode, rcode)} for zone {zone}"
-        )
+        for idx, chunk in enumerate(chunks):
+            mid = (
+                sum(zone.encode("ascii")) * 131 + len(chunk) + 257 * idx
+            ) & 0xFFFF
+            wire = encode_update_message(zone, chunk, mid=mid)
+            s.sendall(len(wire).to_bytes(2, "big") + wire)
+            raw = _recv_exact(s, int.from_bytes(_recv_exact(s, 2), "big"))
+            rcode = parse_update_response(raw, mid)
+            if rcode == RCODE_NOTAUTH:
+                # not authoritative for the zone == the file store's
+                # unknown zone: keep ignore-failures semantics
+                # transport-independent
+                raise ZoneNotFoundError(
+                    "DNS UPDATE refused: server not authoritative for "
+                    f"{zone}"
+                )
+            if rcode != 0:
+                # reference behavior: any non-NOERROR response is a
+                # hard failure (DnsUpdate.java:76-80)
+                raise OSError(
+                    "DNS UPDATE failed: rcode="
+                    f"{RCODE_TEXT.get(rcode, rcode)} for zone {zone}"
+                )

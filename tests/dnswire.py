@@ -310,7 +310,10 @@ class LoopbackDnsServer:
             raw = _recv_exact(conn, int.from_bytes(hdr, "big"))
             if raw is None:
                 return
-            if message_opcode(raw) == OPCODE_UPDATE:
+            while message_opcode(raw) == OPCODE_UPDATE:
+                # RFC 7766: a client may send several messages on one
+                # connection — the chunked >64KB update path does (one
+                # UPDATE per 64KB frame, strictly request->response)
                 mid, zone, changes = parse_update_message(raw)
                 self.requests.append(
                     {"qname": zone, "qtype": "UPDATE",
@@ -323,7 +326,12 @@ class LoopbackDnsServer:
                 )
                 wire = build_update_response(mid, zone, rcode)
                 conn.sendall(len(wire).to_bytes(2, "big") + wire)
-                return
+                hdr = _recv_exact(conn, 2)
+                if hdr is None:
+                    return  # client done
+                raw = _recv_exact(conn, int.from_bytes(hdr, "big"))
+                if raw is None:
+                    return
             q = parse_message(raw)
             req_serial = q.authority[0][3] if q.authority else 0
             self.requests.append(

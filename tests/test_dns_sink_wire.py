@@ -287,3 +287,65 @@ def test_wire_streaming_sink(spark, wire, tmp_path):
         assert zstore.resolve("example.acme.", f"host{i}.example.acme.") == [
             f"127.0.0.{i}"
         ]
+
+
+# ------------------------------------------------------- 64KB chunking
+def test_chunk_changes_respects_frame_cap_and_order():
+    """ADVICE r8: a zone batch of >~2000 changes overflows the 64KB TCP
+    frame; chunk_changes must split it so every message encodes, with
+    apply order preserved across chunks."""
+    from spark_dns_spark.sources.update_wire import (
+        MAX_MESSAGE,
+        chunk_changes,
+    )
+
+    changes = [
+        ("IXFR_ADD", f"h{i:05d}.bulk.example.acme.", f"10.{i // 256 % 256}.{i % 256}.1", 300)
+        for i in range(3000)
+    ]
+    chunks = chunk_changes("example.acme.", changes)
+    assert len(chunks) > 1
+    # order preserved: concatenation reproduces the input exactly
+    assert [c for ch in chunks for c in ch] == changes
+    # every chunk encodes within the frame cap (the pre-fix path threw
+    # OverflowError from len(wire).to_bytes(2, ...))
+    for i, ch in enumerate(chunks):
+        wire = encode_update_message("example.acme.", ch, mid=i)
+        assert len(wire) <= MAX_MESSAGE
+
+
+def test_single_message_over_cap_raises_clearly():
+    from spark_dns_spark.sources.update_wire import encode_update_message
+
+    changes = [
+        ("IXFR_ADD", f"h{i:05d}.bulk.example.acme.", "10.0.0.1", 300)
+        for i in range(3000)
+    ]
+    with pytest.raises(ValueError, match="chunk the change list"):
+        encode_update_message("example.acme.", changes, mid=1)
+
+
+def test_wire_send_large_batch_chunks_in_order(wire):
+    """e2e: send_update streams a >64KB change list as multiple in-order
+    UPDATE messages over ONE connection; the store applies all of them
+    and latest-wins semantics hold across a chunk boundary."""
+    server, zstore = wire
+    n = 2500
+    changes = [
+        ("IXFR_ADD", f"h{i:04d}.example.acme.", f"10.{i // 250}.{i % 250}.9", 300)
+        for i in range(n)
+    ]
+    # same fqdn added early then deleted at the very end: the delete
+    # must apply AFTER the add even though they land in different
+    # chunks
+    changes.append(("IXFR_DELETE", "h0000.example.acme.", "10.0.0.9", 0))
+    send_update("127.0.0.1", server.port, 15.0, "example.acme.", changes)
+    msgs = [r for r in server.requests if r["qtype"] == "UPDATE"]
+    assert len(msgs) > 1, "expected the batch to span multiple messages"
+    assert sum(len(m["changes"]) for m in msgs) == n + 1
+    # spot-resolve: middle + last host present, deleted host gone
+    assert zstore.resolve("example.acme.", "h1250.example.acme.") == ["10.5.0.9"]
+    assert zstore.resolve("example.acme.", f"h{n - 1:04d}.example.acme.") == [
+        "10.9.249.9"
+    ]
+    assert zstore.resolve("example.acme.", "h0000.example.acme.") == []

@@ -35,6 +35,7 @@ BNLJ_WHITELIST = {
     # 1-row corpus stats (n_docs, avgdl) cross-joined onto the
     # (doc, term) tf relation — same single-row-broadcast class
     "index_bm25_topk",
+    "index_bm25_dense",
     # 1-row stream total cross-joined onto the candidate-count dim for
     # the freq > n/T filter — same single-row-broadcast class
     "heavy_hitters_events",
