@@ -424,6 +424,12 @@ _ROTATION_R9: dict[str, int] = {
     # events_cusum_drift in-window; quantile_normalize stays benched
     # and under the full-catalog gate.
     "events_quantile_normalize": 6,
+    # rotate OUT (making room for similarity_ivf_upsert, NEW r9): the
+    # sessionization family keeps sessionize_events +
+    # sessionize_stream_stateful in-window; peak-concurrency's
+    # sweep-line shape stays pytest-pinned (test_sweepline_spans) and
+    # under the full-catalog gate.
+    "sessions_peak_concurrency": 6,
 }
 
 
