@@ -31,7 +31,14 @@ bench:
 	python bench.py
 
 # 10x-growth evidence: generate sf1, oracle-check the heavy tiers,
-# time the top-10 slowest for scaling ratios (VERDICT r7 item 2)
+# time the top slowest for scaling ratios (VERDICT r7 item 2)
 sf1:
 	python tools/make_sf1.py
 	python tools/bench_sf1.py --json SCALE_SF1_$(ROUND).json
+
+# cross-engine gate for the heavy tiers at sf1 (100x the driver's
+# sf0.01 scale); query list lives in tools/bench_sf1.py
+sf1-oracle:
+	python tools/make_sf1.py
+	python tools/check_oracle.py --json ORACLE_SF1_$(ROUND).json \
+	  .scratch/sf1 $$(python -c "from tools.bench_sf1 import ORACLE_QUERIES; print(' '.join(ORACLE_QUERIES))")

@@ -25,8 +25,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 SF01 = "/root/testdata/sf0.1"
 
-#: the top-10 slowest heavy-tier queries (r7 bench detail + VERDICT's
-#: plan-audit list), spanning every tier the sf1 gate covers
+#: the top slowest heavy-tier queries (r7 bench detail + VERDICT's
+#: plan-audit list), spanning every tier the sf1 gate covers; the
+#: r8/r9 additions (PQ, composed IVF-PQ, incremental paths, BM25
+#: density tiers, bigram LM) joined in r9 — VERDICT r8 item 4: the
+#: 100x-scale claim for new flagship operators must be measured.
 QUERIES = [
     "graph_pagerank_transitions",
     "dedup_snm_span_clusters",
@@ -38,6 +41,44 @@ QUERIES = [
     "pack_tokens_stream",
     "vocab_bpe_merges",
     "graph_triangle_count",
+    # r9 additions
+    "similarity_pq_codes",
+    "similarity_pq_adc_recall",
+    "similarity_topk_ivfpq",
+    "similarity_ivf_upsert",
+    "dedup_minhash_incremental",
+    "index_bm25_topk",
+    "index_bm25_dense",
+    "quality_lm_bigram_score",
+]
+
+#: the full heavy-tier ORACLE list for the sf1 cross-engine gate
+#: (make sf1-oracle -> ORACLE_SF1_r{N}.json): the r8 41-query list +
+#: the r8/r9 additions that were missing from it (VERDICT r8 item 4).
+ORACLE_QUERIES = [
+    "batching_length_grouped", "contamination_ngram_overlap",
+    "dedup_cluster_assign", "dedup_cluster_pointer_doubling",
+    "dedup_cluster_representatives", "dedup_cluster_star_contraction",
+    "dedup_embedding_cosine", "dedup_exact_documents",
+    "dedup_exact_substring", "dedup_incremental_batch",
+    "dedup_minhash_incremental", "dedup_minhash_lsh",
+    "dedup_minhash_signatures", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_snm_span_clusters", "dedup_sorted_neighborhood",
+    "dedup_substring_clean", "embedding_quantize_int8",
+    "graph_clustering_coefficient", "graph_pagerank_transitions",
+    "graph_triangle_count", "kmeans_lloyd_cells",
+    "linkage_field_scores", "mlprep_leakage_free_split",
+    "mlprep_split_leakage_audit", "multimodal_binary_dedup",
+    "pack_greedy_bins", "pack_tokens_stream", "pipeline_curate_corpus",
+    "sessions_peak_concurrency", "similarity_ivf_build",
+    "similarity_ivf_recall", "similarity_lsh_recall",
+    "similarity_topk_bruteforce", "similarity_topk_ivf",
+    "similarity_topk_lsh", "text_fingerprint", "vocab_bpe_apply",
+    "vocab_bpe_fertility", "vocab_bpe_merges",
+    # r8/r9 additions
+    "similarity_pq_codes", "similarity_pq_adc_recall",
+    "similarity_topk_ivfpq", "similarity_ivf_upsert",
+    "index_bm25_topk", "index_bm25_dense", "quality_lm_bigram_score",
 ]
 
 
