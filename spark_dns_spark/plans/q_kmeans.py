@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -190,19 +192,55 @@ SELECT vec_id, cell, dist2 FROM (
 """
 
 
+def cells_udf(cents: list[list[int]], kk: int):
+    """Arrow-batched nearest-``kk``-cells kernel: input the quantized
+    vector as ``array<bigint>``, output ``[c_0..c_{kk-1}, d_0..d_{kk-1}]``
+    (cells by ascending integer L2, then their distances).  numpy int64
+    is exact and ``argsort(kind='stable')`` keeps equal-distance cells
+    in index order — the same ORDER BY dist, cell tie-break the oracle
+    imposes and the literal-codegen argmin used.
+
+    Why Arrow and not inlined centroid literals (the pre-r9 shape):
+    K x DIM squared-difference terms as literals exceed janino's method
+    limit at K=20/DIM=64 — the generated code FAILED to compile and
+    every IVF assignment ran interpreted, with a fresh multi-second
+    compile attempt per Lloyd round (new literals each round).  One
+    stable UDF removes the compile from the loop entirely; the
+    centroids ride the closure (K-row model state), the vectors still
+    never shuffle.  Same trade as q_pq._assign_codes / LSH signatures."""
+    cb = np.array(cents, dtype=np.int64)  # (K, DIM)
+
+    @F.pandas_udf("array<long>")
+    def cells(qv: pd.Series) -> pd.Series:
+        if not len(qv):
+            return pd.Series([], dtype=object)
+        x = np.stack(qv.to_numpy()).astype(np.int64)  # (b, DIM)
+        out = []
+        for lo in range(0, len(x), 2048):  # bound (slab, K, DIM) temp
+            xs = x[lo : lo + 2048]
+            d = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d, axis=1, kind="stable")[:, :kk]
+            dk = np.take_along_axis(d, order, axis=1)
+            out.append(np.concatenate([order, dk], axis=1))
+        return pd.Series(list(np.concatenate(out)))
+
+    return cells
+
+
+def _qarr() -> F.Column:
+    """q0..q{DIM-1} scalar columns repacked as one array<bigint>."""
+    return F.array(*[f"q{i}" for i in range(DIM)])
+
+
 def _assign(q: DataFrame, cents: list[list[int]]) -> DataFrame:
-    """One Lloyd assignment pass: centroid literals inlined, argmin via
-    array_position-of-min (first index = smallest cell wins ties, the
-    same order the oracle's ``ORDER BY dist, cell`` imposes)."""
-    dists = [F.expr(_int_dist(cv)).alias(f"d{j}") for j, cv in enumerate(cents)]
-    arr = F.array(*[F.col(f"d{j}") for j in range(len(cents))])
-    return (
-        q.select("*", *dists)
-        .select(
-            "*",
-            (F.array_position(arr, F.array_min(arr)) - 1).alias("cell"),
-            F.array_min(arr).alias("dist2"),
-        )
+    """One Lloyd assignment pass (Arrow kernel; first-min ties = the
+    smallest cell, the same order the oracle's ``ORDER BY dist, cell``
+    imposes)."""
+    cd = cells_udf(cents, 1)(_qarr())
+    return q.select("*", cd.alias("cd")).select(
+        "*",
+        F.expr("cd[0]").alias("cell"),
+        F.expr("cd[1]").alias("dist2"),
     )
 
 

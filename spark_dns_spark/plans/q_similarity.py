@@ -293,23 +293,18 @@ _IVF_SQL = (
 
 
 def _nearest_cells(q: DataFrame, cents: list[list[int]], kk: int) -> DataFrame:
-    """(vec_id, cell) for each vector's ``kk`` nearest centroids —
-    centroid literals inlined into one codegen struct-array sort (ties
+    """(vec_id, cell) for each vector's ``kk`` nearest centroids (ties
     break to the smaller cell, matching the oracle's ORDER BY dist,
-    cell), so cell assignment is a MAP: no join, no vector shuffle."""
-    structs = [
-        F.struct(
-            F.expr(km.int_dist(cv)).alias("d"),
-            F.lit(j).cast("long").alias("c"),
-        )
-        for j, cv in enumerate(cents)
-    ]
-    arr = F.array_sort(F.array(*structs))
-    return q.select(
+    cell) — one Arrow-batched kernel (km.cells_udf: the pre-r9 inlined
+    centroid literals exceeded janino's method limit at K=20 x DIM=64
+    and ran INTERPRETED), so cell assignment stays a MAP: no join, no
+    vector shuffle."""
+    cd = km.cells_udf(cents, min(kk, len(cents)))(km._qarr())
+    return q.select("vec_id", cd.alias("cd")).select(
         "vec_id",
-        F.explode(
-            F.transform(F.slice(arr, 1, kk), lambda s: s["c"])
-        ).alias("cell"),
+        F.explode(F.expr(f"slice(cd, 1, {min(kk, len(cents))})")).alias(
+            "cell"
+        ),
     )
 
 

@@ -41,6 +41,7 @@ BNLJ_OK = {
     # 1-row corpus stats (n_docs, avgdl) cross-joined onto the
     # (doc, term) tf relation — same single-row-broadcast class
     "index_bm25_topk",
+    "index_bm25_dense",
     # 1-row stream total cross-joined onto the candidate-count dim
     "heavy_hitters_events",
     # two 1-row conditional-aggregate relations joined for the
