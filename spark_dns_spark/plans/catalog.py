@@ -430,6 +430,12 @@ _ROTATION_R9: dict[str, int] = {
     # sweep-line shape stays pytest-pinned (test_sweepline_spans) and
     # under the full-catalog gate.
     "sessions_peak_concurrency": 6,
+    # rotate OUT (making room for similarity_ivfpq_recall, NEW r9):
+    # the streaming family keeps sessionize_stream_stateful +
+    # stream_dedup_replay in-window; the attribution join stays
+    # pytest-pinned (test_streaming tests) and under the full-catalog
+    # gate.
+    "stream_attribution_join": 6,
 }
 
 

@@ -625,6 +625,13 @@ _IVFPQ_SQL = (
     tags=("similarity", "ivf", "pq"),
 )
 def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivfpq_topk(spark, sf_dir)
+
+
+def _ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed serve as an unwrapped builder (the recall metric
+    composes it without re-entering the catalog wrapper, which would
+    release the outer query's caches — the _ivf_topk precedent)."""
     n = qs._vectors(spark, sf_dir)
     ivf_root = qs.ivf_index_path(spark, sf_dir)
     pq_root = pq_index_path(spark, sf_dir)
@@ -667,3 +674,47 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Exact re-rank: raw vectors are read ONLY for the shortlist pairs.
     return qs._scored_topk(n, cand)
+
+
+@register(
+    "similarity_ivfpq_recall",
+    f"""
+WITH bf AS (
+  SELECT query_id, neighbor_id FROM ({qs._BF_SQL})
+), ivfpq AS (
+  SELECT query_id, neighbor_id FROM ({_IVFPQ_SQL})
+)
+SELECT bf.query_id,
+       sum(CASE WHEN ivfpq.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS hits,
+       (sum(CASE WHEN ivfpq.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         * {10000 // qs.K})::BIGINT AS recall_e4
+FROM bf LEFT JOIN ivfpq
+  ON ivfpq.query_id = bf.query_id AND ivfpq.neighbor_id = bf.neighbor_id
+GROUP BY bf.query_id
+""",
+    doc=f"self-measuring ANN quality for the composed IVF-PQ serve: "
+    f"recall@{qs.K} against the exact brute-force ground truth per "
+    "query (measured mean 0.84/0.85 at sf0.001/0.01) — completes the "
+    "measured-quality story for every serving tier (LSH, IVF, pure "
+    "ADC, and now the composition production actually runs); "
+    "integer-exact hit counts, hash-equality oracle",
+    tags=("similarity", "ivf", "pq", "metric"),
+)
+def similarity_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = qs._bf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    iv = (
+        _ivfpq_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        bf.join(iv, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
+        .select(
+            "query_id",
+            "hits",
+            (F.col("hits") * F.lit(10000 // qs.K)).alias("recall_e4"),
+        )
+    )

@@ -24,6 +24,7 @@ BNLJ_WHITELIST = {
     # Q-row query set broadcast onto the corpus + the recon table for
     # the exact ground truth and the ADC scan — the same class
     "similarity_pq_adc_recall",
+    "similarity_ivfpq_recall",
     "similarity_topk_ivf",
     "dns_typosquat_levenshtein",
     # 1-row scalar aggregates (w_total, n_max) cross-joined back onto a

@@ -79,6 +79,7 @@ ORACLE_QUERIES = [
     "similarity_pq_codes", "similarity_pq_adc_recall",
     "similarity_topk_ivfpq", "similarity_ivf_upsert",
     "index_bm25_topk", "index_bm25_dense", "quality_lm_bigram_score",
+    "similarity_ivfpq_recall",
 ]
 
 

@@ -31,6 +31,9 @@ BNLJ_OK = {
     # Q-row query set broadcast onto the corpus + the recon table for
     # the exact ground truth and the ADC scan — the same class
     "similarity_pq_adc_recall",
+    # embeds the brute-force ground truth as a subplan (like the other
+    # recall metrics)
+    "similarity_ivfpq_recall",
     "dns_typosquat_levenshtein",
     # 1-row scalar aggregates (w_total, n_max) cross-joined onto a
     # 20-row dim — broadcast of single-row relations, the right plan
