@@ -349,3 +349,35 @@ def test_wire_send_large_batch_chunks_in_order(wire):
         "10.9.249.9"
     ]
     assert zstore.resolve("example.acme.", "h0000.example.acme.") == []
+
+
+def test_chunk_changes_properties():
+    """Property: for arbitrary change lists, chunking preserves order
+    and content exactly, and every chunk encodes within the frame."""
+    from hypothesis import given, settings, strategies as st
+
+    from spark_dns_spark.sources.update_wire import (
+        MAX_MESSAGE,
+        chunk_changes,
+    )
+
+    label = st.text("abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=20)
+    change = st.tuples(
+        st.sampled_from(["IXFR_ADD", "AXFR", "IXFR_DELETE"]),
+        st.builds(lambda a, b: f"{a}.{b}.example.acme.", label, label),
+        st.tuples(*[st.integers(0, 255)] * 4).map(
+            lambda t: ".".join(map(str, t))
+        ),
+        st.integers(0, 86400),
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(change, max_size=4000))
+    def prop(changes):
+        chunks = chunk_changes("example.acme.", changes)
+        assert [c for ch in chunks for c in ch] == changes
+        assert all(ch for ch in chunks)  # no empty chunk
+        for i, ch in enumerate(chunks):
+            assert len(encode_update_message("example.acme.", ch, mid=i)) <= MAX_MESSAGE
+
+    prop()
