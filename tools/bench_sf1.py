@@ -83,6 +83,22 @@ ORACLE_QUERIES = [
 ]
 
 
+#: Queries whose WORK grows ~100x when the data grows 10x: their query
+#: set is drawn from the corpus (|Q| grows 10x) and their cost is
+#: |Q| x candidates (brute-force ground truth inside recall metrics;
+#: the BM25 probe joins every query term against the postings).  Their
+#: wall-clock ratio is judged against 100x work, not 10x data — the
+#: artifact records both so a 30x ratio on 100x work reads as the
+#: sublinear result it is instead of a scaling failure.
+QUADRATIC_WORK = {
+    "similarity_pq_adc_recall",
+    "similarity_topk_ivfpq",
+    "index_bm25_topk",
+    "index_bm25_dense",
+    "similarity_ivfpq_recall",
+}
+
+
 def main() -> None:
     out_path = None
     args = sys.argv[1:]
@@ -114,10 +130,12 @@ def main() -> None:
             row[label] = round(min(times), 3)
             row[f"rows_{label}"] = n
         row["ratio"] = round(row["sf1"] / max(row["sf0.1"], 1e-9), 2)
+        row["work_growth_x"] = 100 if name in QUADRATIC_WORK else 10
         results[name] = row
         print(
             f"# {name}: sf0.1 {row['sf0.1']}s -> sf1 {row['sf1']}s "
-            f"(x{row['ratio']}, rows {row['rows_sf0.1']} -> {row['rows_sf1']})",
+            f"(x{row['ratio']} on x{row['work_growth_x']} work, "
+            f"rows {row['rows_sf0.1']} -> {row['rows_sf1']})",
             file=sys.stderr,
         )
 
@@ -125,7 +143,15 @@ def main() -> None:
         "metric": "sf1_scaling",
         "data_growth_x": 10,
         "queries": results,
-        "max_ratio": max(r["ratio"] for r in results.values()),
+        "max_ratio_linear_work": max(
+            r["ratio"]
+            for n, r in results.items()
+            if n not in QUADRATIC_WORK
+        ),
+        "max_ratio_quadratic_work": max(
+            (r["ratio"] for n, r in results.items() if n in QUADRATIC_WORK),
+            default=None,
+        ),
         "sf1_dir": sf1,
     }
     print(json.dumps(doc))
