@@ -76,11 +76,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # document frequency: tf is already one row per (doc, term)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    # dfreq is vocabulary-sized and total is one row — both broadcast;
-    # the integer-scaled idf ((N*1e4) div df) avoids ln(): floats never
+    # total is one row — pinned broadcast; dfreq is vocabulary-sized
+    # and grows with the corpus, so NO pinned hint (the ADVICE-r8 rule
+    # applied to q_lm/q_retrieval): AQE broadcasts it while it fits and
+    # falls back to a term-keyed shuffle join past the envelope.  The
+    # integer-scaled idf ((N*1e4) div df) avoids ln(): floats never
     # enter the score, so cross-engine ranking is exact.
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(total))
         .withColumn(
             "score_e4", F.col("tf") * F.expr("(n_docs * 10000) div df")

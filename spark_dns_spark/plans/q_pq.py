@@ -383,6 +383,16 @@ def similarity_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 ADC_QMOD = 50  #: query set = vec_id % ADC_QMOD == 0 (the ANN-tier budget)
+#: Cap on the recall sample size: recall@K is a SAMPLED statistic, so
+#: the ground-truth budget must not grow linearly with the corpus —
+#: this metric runs TWO brute-force |Q|x|C| windows (exact + decoded)
+#: on top of the PQ training chain, and a linear |Q| made the DuckDB
+#: oracle exceed a 15 GB memory cap at sf1 (ORACLE_SF1_r9).  The
+#: effective modulus ADC_QMOD * max(1, n // (ADC_QMOD*ADC_QBUDGET)) is
+#: the identity for n <= 5000 (so sf0.001/0.01/0.1 results are
+#: byte-unchanged) and bounds |Q| near ADC_QBUDGET beyond that; the
+#: same integer formula is evaluated in both engines.
+ADC_QBUDGET = 100
 RECALL_K = 10  #: top-K for both the exact ground truth and the ADC ranking
 #: ADC shortlist before the exact re-rank (the standard two-stage PQ
 #: serve: codes prune the corpus to the shortlist, exact distances are
@@ -410,8 +420,12 @@ def _adc_sql() -> str:
         + _pq_chain_body()
         + _recon_cte()
         + f"""
-, qrs AS (
-  SELECT vec_id AS query_id, qv FROM q WHERE vec_id % {ADC_QMOD} = 0
+, qn AS (
+  SELECT {ADC_QMOD} * greatest(
+           1, count(*) // {ADC_QMOD * ADC_QBUDGET}) AS m
+  FROM q
+), qrs AS (
+  SELECT vec_id AS query_id, qv FROM q, qn WHERE vec_id % qn.m = 0
 ), ex AS (
   SELECT query_id, neighbor_id FROM (
     SELECT qr.query_id, dd.vec_id AS neighbor_id,
@@ -484,7 +498,10 @@ def _recon_from_codes(
     f"shortlist, exact distances re-rank ONLY the shortlist to "
     f"top-{RECALL_K}, and recall@{RECALL_K} is measured against the "
     "exact ground truth — the same self-measuring pattern as "
-    "similarity_ivf_recall/lsh_recall; serves from the prebuilt "
+    f"similarity_ivf_recall/lsh_recall, over a query sample bounded "
+    f"near {ADC_QBUDGET} at any corpus size (recall is a sampled "
+    "statistic; the ground-truth cost must not scale with the "
+    "corpus); serves from the prebuilt "
     "pq_index_path index (no per-invocation retrain); at 100 TB the "
     "first stage touches only codes (PQ_M bytes/vector) and the "
     "vectors are read for ~SHORTLIST candidates per query, never "
@@ -500,7 +517,11 @@ def similarity_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     q = _quantized(spark, sf_dir).persist()
     recon = _recon_from_codes(spark, root, books)
-    queries = q.filter(F.col("vec_id") % ADC_QMOD == 0).select(
+    # Bounded recall sample (see ADC_QBUDGET): identical integer
+    # modulus formula as the oracle's qn CTE.
+    nq = q.count()
+    qmod = ADC_QMOD * max(1, nq // (ADC_QMOD * ADC_QBUDGET))
+    queries = q.filter(F.col("vec_id") % qmod == 0).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
     )
 
@@ -516,7 +537,7 @@ def similarity_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Two-stage serve: ADC over the codes prunes the corpus to the
     # scale-adaptive shortlist; exact distances only on the shortlist.
-    shortlist_k = max(SHORTLIST_MIN, q.count() // SHORTLIST_DIV)
+    shortlist_k = max(SHORTLIST_MIN, nq // SHORTLIST_DIV)
     shortlist = _topk_by(
         recon.join(
             F.broadcast(queries),
