@@ -232,6 +232,21 @@ def _assign_codes(q: DataFrame, books: list[list[list[int]]]) -> DataFrame:
     return q.select("vec_id", "qv", assign("qv").alias("cd"))
 
 
+def _codes_df(out: DataFrame) -> DataFrame:
+    """Pivot :func:`_assign_codes` output ``cd`` into the stored codes
+    shape (vec_id, c0..c{PQ_M-1}, err2): the code columns are the first
+    PQ_M entries, err2 is the sum of the trailing PQ_M squared
+    subspace distances."""
+    return out.select(
+        "vec_id",
+        *[F.expr(f"cd[{m}]").alias(f"c{m}") for m in range(PQ_M)],
+        F.expr(
+            f"aggregate(slice(cd, {PQ_M + 1}, {PQ_M}), 0L, "
+            "(acc, e) -> acc + e)"
+        ).alias("err2"),
+    )
+
+
 def _train_books(q: DataFrame) -> list[list[list[int]]] | None:
     """Train ALL per-subspace codebooks fused (None on an empty corpus).
 
@@ -300,6 +315,36 @@ def _train_books(q: DataFrame) -> list[list[list[int]]] | None:
 _PQ_INDEX: dict = {}
 
 
+def _build_pq_index(spark: SparkSession, q: DataFrame, root: str) -> None:
+    """Train books on ``q`` and persist ``books/`` + its codes to
+    ``root`` (the shared body of the full and base-corpus builds)."""
+    q = q.persist()
+    books = _train_books(q)
+    if books is None:
+        codes = spark.createDataFrame(
+            [],
+            "vec_id bigint, "
+            + ", ".join(f"c{m} bigint" for m in range(PQ_M))
+            + ", err2 bigint",
+        )
+        bdf = spark.createDataFrame(
+            [], "m bigint, cell bigint, cv array<bigint>"
+        )
+    else:
+        codes = _codes_df(_assign_codes(q, books))
+        bdf = spark.createDataFrame(
+            [
+                (m, j, cv)
+                for m, book in enumerate(books)
+                for j, cv in enumerate(book)
+            ],
+            "m bigint, cell bigint, cv array<bigint>",
+        )
+    bdf.coalesce(1).write.mode("overwrite").parquet(f"{root}/books")
+    codes.write.mode("overwrite").parquet(f"{root}/codes")
+    q.unpersist()
+
+
 def pq_index_path(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per process per sf) the persisted PQ index:
     ``books/`` (m, cell, cv) — the trained codebooks — and ``codes/``
@@ -308,39 +353,7 @@ def pq_index_path(spark: SparkSession, sf_dir: str) -> str:
     bytes/vector (vs 8*DIM raw) and is what ADC serving scans."""
 
     def build(root: str) -> None:
-        q = _quantized(spark, sf_dir).persist()
-        books = _train_books(q)
-        if books is None:
-            codes = spark.createDataFrame(
-                [],
-                "vec_id bigint, "
-                + ", ".join(f"c{m} bigint" for m in range(PQ_M))
-                + ", err2 bigint",
-            )
-            bdf = spark.createDataFrame(
-                [], "m bigint, cell bigint, cv array<bigint>"
-            )
-        else:
-            out = _assign_codes(q, books)
-            codes = out.select(
-                "vec_id",
-                *[F.expr(f"cd[{m}]").alias(f"c{m}") for m in range(PQ_M)],
-                F.expr(
-                    f"aggregate(slice(cd, {PQ_M + 1}, {PQ_M}), 0L, "
-                    "(acc, e) -> acc + e)"
-                ).alias("err2"),
-            )
-            bdf = spark.createDataFrame(
-                [
-                    (m, j, cv)
-                    for m, book in enumerate(books)
-                    for j, cv in enumerate(book)
-                ],
-                "m bigint, cell bigint, cv array<bigint>",
-            )
-        bdf.coalesce(1).write.mode("overwrite").parquet(f"{root}/books")
-        codes.write.mode("overwrite").parquet(f"{root}/codes")
-        q.unpersist()
+        _build_pq_index(spark, _quantized(spark, sf_dir), root)
 
     from spark_dns_spark.plans.feeds import cached_index_path  # noqa: PLC0415
 
@@ -739,3 +752,109 @@ def similarity_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hits") * F.lit(10000 // qs.K)).alias("recall_e4"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental PQ index maintenance: encode-only upsert of a new batch.
+# ---------------------------------------------------------------------------
+
+#: process-lifetime cache of the BASE-corpus PQ index (books + codes
+#: trained/encoded without the vec_id % UP_MOD == UP_REM batch).
+_PQ_BASE_INDEX: dict = {}
+
+
+def pq_base_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """The persisted PQ index of the base corpus only (codebooks
+    trained and codes encoded WITHOUT the new batch) — the stored
+    model state an incremental upsert appends to."""
+
+    def build(root: str) -> None:
+        q = _quantized(spark, sf_dir).filter(
+            (F.col("vec_id") % qs.UP_MOD) != qs.UP_REM
+        )
+        _build_pq_index(spark, q, root)
+
+    from spark_dns_spark.plans.feeds import cached_index_path  # noqa: PLC0415
+
+    return cached_index_path(
+        _PQ_BASE_INDEX, sf_dir, "embeddings.parquet", build
+    )
+
+
+def _pq_upsert_sql() -> str:
+    """Oracle: train the chain on the BASE corpus, then ONE assignment
+    of every vector against the final codebooks — identical to stored
+    base codes + encode-only delta because the stored codes were
+    themselves produced by that same final-book assignment."""
+    subv = "[" + ", ".join(
+        f"qv[m*{SUBD} + {i}]" for i in range(1, SUBD + 1)
+    ) + "]"
+    d = _sv_dist_sql("b.sv", "s.cv")
+    codes = ", ".join(
+        f"max(CASE WHEN m = {m} THEN cell END)::BIGINT AS c{m}"
+        for m in range(PQ_M)
+    )
+    return (
+        f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), qa AS (
+  SELECT vec_id, [{km.Q_COLS_SQL}] AS qv FROM e
+), q AS (
+  SELECT * FROM qa WHERE vec_id % {qs.UP_MOD} <> {qs.UP_REM}
+)"""
+        + _pq_chain_body()
+        + f"""
+, asub AS (
+  SELECT vec_id, m, {subv} AS sv FROM qa, ms
+), afin AS (
+  SELECT vec_id, m, cell, d FROM (
+    SELECT b.vec_id, b.m, s.cell, {d} AS d,
+           row_number() OVER (
+             PARTITION BY b.vec_id, b.m
+             ORDER BY {d} ASC, s.cell) AS rn
+    FROM asub b JOIN ps{PQ_ITERS - 1} s ON s.m = b.m
+  ) WHERE rn = 1
+)
+SELECT vec_id, {codes}, sum(d)::BIGINT AS err2,
+       CASE WHEN vec_id % {qs.UP_MOD} = {qs.UP_REM} THEN 1 ELSE 0 END
+         AS is_new
+FROM afin GROUP BY vec_id"""
+    )
+
+
+@register(
+    "similarity_pq_upsert",
+    _pq_upsert_sql(),
+    doc=f"INCREMENTAL PQ index maintenance — completes the "
+    "minhash/IVF/PQ upsert symmetry (dedup_minhash_incremental, "
+    f"similarity_ivf_upsert): the base corpus's PQ index (codebooks + "
+    f"codes trained without the new batch vec_id%{qs.UP_MOD}=="
+    f"{qs.UP_REM}) is a persisted parquet index (pq_base_index_path); "
+    "the new batch is ENCODED against the stored codebooks (one "
+    "Arrow-batched argmin pass over the delta only — the corpus is "
+    "never re-encoded) and appended with is_new=1; the merged codes "
+    "equal a from-scratch encode-all at the same model state "
+    "(tests/test_pq_upsert.py proves byte-identity + one stored-codes "
+    "scan).  Oracle = train-on-base then encode-everything.  At "
+    "100 TB this is the daily-crawl shape: batch cost is proportional "
+    "to |delta| x PQ_M lookups, and codebook drift is a deliberate, "
+    "monitorable retrain decision (err2 on new batches), not an "
+    "implicit per-run retrain",
+    tags=("similarity", "pq", "incremental"),
+)
+def similarity_pq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = pq_base_index_path(spark, sf_dir)
+    base = spark.read.parquet(f"{root}/codes").withColumn(
+        "is_new", F.lit(0)
+    )
+    books = _load_books(spark, root)
+    if not any(books):
+        return base
+    delta = _quantized(spark, sf_dir).filter(
+        (F.col("vec_id") % qs.UP_MOD) == qs.UP_REM
+    )
+    dcodes = _codes_df(_assign_codes(delta, books)).withColumn(
+        "is_new", F.lit(1)
+    )
+    return base.unionByName(dcodes)

@@ -46,6 +46,7 @@ QUERIES = [
     "similarity_pq_adc_recall",
     "similarity_topk_ivfpq",
     "similarity_ivf_upsert",
+    "similarity_pq_upsert",
     "dedup_minhash_incremental",
     "index_bm25_topk",
     "index_bm25_dense",
@@ -79,7 +80,7 @@ ORACLE_QUERIES = [
     "similarity_pq_codes", "similarity_pq_adc_recall",
     "similarity_topk_ivfpq", "similarity_ivf_upsert",
     "index_bm25_topk", "index_bm25_dense", "quality_lm_bigram_score",
-    "similarity_ivfpq_recall",
+    "similarity_ivfpq_recall", "similarity_pq_upsert",
 ]
 
 
