@@ -858,3 +858,91 @@ def similarity_pq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_new", F.lit(1)
     )
     return base.unionByName(dcodes)
+
+
+@register(
+    "similarity_pq_upsert_stream",
+    _pq_upsert_sql(),
+    doc="the PQ encoder as a CONTINUOUS pipeline stage: the new-batch "
+    "embeddings arrive as a parquet file stream (two micro-batches "
+    "under maxFilesPerTrigger=1), and the encode-against-stored-"
+    "codebooks step runs UNCHANGED inside Structured Streaming — it "
+    "is a stateless Arrow map (quantize + argmin, codebooks in the "
+    "UDF closure), so no state store, no watermark, no shuffle; each "
+    "micro-batch appends its codes exactly as the batch upsert "
+    "would.  Final state (stored base codes + streamed delta codes) "
+    "is byte-identical to similarity_pq_upsert, which IS the oracle. "
+    "At 100 TB this is the daily-crawl ingestion loop: new vectors "
+    "become servable codes at micro-batch latency for PQ_M lookups "
+    "each, while codebook retrain stays a deliberate offline decision",
+    tags=("similarity", "pq", "incremental", "streaming"),
+)
+def similarity_pq_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from spark_dns_spark.plans.feeds import (  # noqa: PLC0415
+        await_or_fail,
+        scratch_dir,
+    )
+
+    root_idx = pq_base_index_path(spark, sf_dir)
+    base = spark.read.parquet(f"{root_idx}/codes").withColumn(
+        "is_new", F.lit(0)
+    )
+    books = _load_books(spark, root_idx)
+    if not any(books):
+        return base
+
+    root = scratch_dir("pq_upsert_stream_")
+    src_dir = os.path.join(root, "src")
+    os.makedirs(src_dir)
+    # The delta batch split into two arrivals (staged mtimes +
+    # maxFilesPerTrigger=1 => two micro-batches crossing an encode
+    # boundary), mirroring stream_dedup_replay's delivery setup.
+    e = load_table(spark, sf_dir, "embeddings")
+    delta = e.filter((F.col("vec_id") % qs.UP_MOD) == qs.UP_REM)
+    for i, half in enumerate(
+        (
+            delta.filter(F.expr(f"(vec_id div {qs.UP_MOD}) % 2 = 0")),
+            delta.filter(F.expr(f"(vec_id div {qs.UP_MOD}) % 2 = 1")),
+        )
+    ):
+        part_dir = os.path.join(root, f"half{i}")
+        half.coalesce(1).write.parquet(part_dir)
+        (part,) = [
+            f for f in os.listdir(part_dir) if f.endswith(".parquet")
+        ]
+        dst = os.path.join(src_dir, f"{i:02d}_batch.parquet")
+        shutil.copy(os.path.join(part_dir, part), dst)
+        mt = os.stat(dst).st_mtime
+        os.utime(dst, (mt - 10 * (1 - i), mt - 10 * (1 - i)))
+
+    out = os.path.join(root, "out")
+    physical = spark.read.parquet(src_dir).schema
+    src = (
+        spark.readStream.schema(physical)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    enc = _codes_df(
+        _assign_codes(
+            _quantize_arr(
+                src.select(
+                    "vec_id",
+                    F.col("embedding").cast("array<double>").alias("v"),
+                )
+            ),
+            books,
+        )
+    )
+    q = (
+        enc.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(root, ".ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_fail(q, 300)
+    dcodes = spark.read.parquet(out).withColumn("is_new", F.lit(1))
+    return base.unionByName(dcodes)

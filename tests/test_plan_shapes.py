@@ -60,6 +60,7 @@ SKIP = {
     "sessionize_stream_stateful",
     "stream_dedup_replay",
     "stream_attribution_join",
+    "similarity_pq_upsert_stream",
 }
 
 

@@ -80,3 +80,21 @@ def test_upsert_split_is_total(spark, sf_dir):
         " OR ".join(f"({c} < 0 OR {c} >= {qp.PQ_K})" for c in code_cols)
     )
     assert bad.count() == 0, "code out of [0, PQ_K)"
+
+
+def test_stream_upsert_equals_batch_upsert(spark, sf_dir):
+    """The streaming encode (two micro-batches, stateless Arrow map)
+    must land byte-identical to the batch upsert — micro-batch
+    boundaries cannot change any code."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    e = qp.load_table(spark, sf_dir, "embeddings")
+    delta = e.filter((F.col("vec_id") % qs.UP_MOD) == qs.UP_REM)
+    halves = [
+        delta.filter(F.expr(f"(vec_id div {qs.UP_MOD}) % 2 = {p}")).count()
+        for p in (0, 1)
+    ]
+    assert all(halves), f"a delivery half is empty at this sf: {halves}"
+    st = _rows(qp.similarity_pq_upsert_stream(spark, sf_dir))
+    bt = _rows(qp.similarity_pq_upsert(spark, sf_dir))
+    assert st == bt
