@@ -946,3 +946,32 @@ def similarity_pq_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     await_or_fail(q, 300)
     dcodes = spark.read.parquet(out).withColumn("is_new", F.lit(1))
     return base.unionByName(dcodes)
+
+
+@register(
+    "similarity_pq_drift",
+    f"""
+SELECT is_new, count(*)::BIGINT AS n,
+       (sum(err2) // count(*))::BIGINT AS avg_err2
+FROM ({_pq_upsert_sql()})
+GROUP BY is_new
+""",
+    doc="the retrain trigger for the incremental PQ pipeline: mean "
+    "squared reconstruction error of the NEW batch's codes (encoded "
+    "against the stored codebooks) vs the base corpus's — when the "
+    "delta's avg_err2 drifts above the base's, the frozen codebooks "
+    "no longer fit the incoming distribution and a retrain is due; "
+    "this turns 'codebook drift is a monitorable decision' from a "
+    "docstring claim into a 2-row integer-exact metric (one map-side "
+    "combinable aggregate over the upsert output)",
+    tags=("similarity", "pq", "incremental", "metric"),
+)
+def similarity_pq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        similarity_pq_upsert(spark, sf_dir)
+        .groupBy("is_new")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("sum(err2) div count(1)").alias("avg_err2"),
+        )
+    )
