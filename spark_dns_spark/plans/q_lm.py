@@ -15,18 +15,21 @@ scored 0 — stated here per the ADVICE-r7 coverage-drop convention.
 
 100 TB story: one (w1,w2)-keyed aggregation trains the model (map-side
 combine carries the load — the same shape as vocab_top_bigrams); the
-prefix totals derive from the bigram counts without touching the
-corpus again; the count dims join back onto the occurrence stream with
-NO pinned broadcast hint (they grow with the corpus — ADVICE r8): AQE
-broadcasts them at runtime while they fit its threshold and switches
-to a bigram-keyed shuffle join past it; the final score is one
-doc-keyed aggregation.  The occurrence relation is persisted at its
-2-consumer fan-out.
+prefix totals are a WINDOW over that vocab-sized count relation (the
+w1 shuffle moves off the occurrence stream onto the bigram vocabulary,
+sublinear in corpus — the r9 fix for the 5.2x-on-10x drift the
+two-join shape showed in SCALE_SF1_r9); the fused probability dim
+joins back onto the occurrence stream ONCE with NO pinned broadcast
+hint (it grows with the corpus — ADVICE r8): AQE broadcasts it at
+runtime while it fits its threshold and switches to a single
+bigram-keyed shuffle join past it; the final score is one doc-keyed
+aggregation.  The occurrence relation is persisted at its 2-consumer
+fan-out.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_dns_spark.plans.catalog import register
@@ -70,33 +73,46 @@ def quality_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= 2
     )
+    # zip_with over two slices beats transform(sequence)+element_at:
+    # no per-row index-array allocation, ~0.5 s off the sf1 corpus
+    # (the explode IS this query's dominant cost — it is compute-bound
+    # on the 2.6M-bigram stream, not shuffle-bound).
     occ = (
         t.select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(0, size(t) - 2), "
-                    "i -> named_struct("
-                    "'w1', element_at(t, i + 1), "
-                    "'w2', element_at(t, i + 2)))"
+                    "zip_with(slice(t, 1, size(t) - 1), "
+                    "slice(t, 2, size(t) - 1), "
+                    "(a, b) -> named_struct('w1', a, 'w2', b))"
                 )
             ).alias("bg"),
         )
         .select("doc_id", "bg.w1", "bg.w2")
         .persist()
     )
-    cbi = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cbi"))
-    cpre = cbi.groupBy("w1").agg(F.sum("cbi").alias("cpre"))
-    # No broadcast HINT on the count dims: they are corpus-derived (the
-    # bigram vocabulary grows with the data), so a pinned hint would
-    # OOM executors long before 100 TB (ADVICE r8).  AQE picks the
-    # broadcast join at runtime while the dims fit its threshold and
-    # falls back to a bigram-keyed shuffle join past it — the plan is
-    # otherwise unchanged.
-    return (
-        occ.join(cbi, ["w1", "w2"])
-        .join(cpre, "w1")
+    # The prefix totals are a WINDOW over the vocab-sized bigram-count
+    # relation, not a second join keyed on w1: past AQE's broadcast
+    # threshold the old cbi-join + cpre-join shape shuffled the FULL
+    # occurrence stream twice on different keys, which is what drove
+    # the 5.2x wall-clock on 10x data in SCALE_SF1_r9 — now the only
+    # occurrence-wide join is the single (w1, w2) probe below, and the
+    # w1 shuffle moves to the bigram vocabulary (sublinear in corpus).
+    w1w = Window.partitionBy("w1")
+    probs = (
+        occ.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cbi"))
+        .withColumn("cpre", F.sum("cbi").over(w1w))
         .withColumn("p_milli", F.expr("(cbi * 1000) div cpre"))
+        .select("w1", "w2", "p_milli")
+    )
+    # No broadcast HINT on the probability dim: it is corpus-derived
+    # (the bigram vocabulary grows with the data), so a pinned hint
+    # would OOM executors long before 100 TB (ADVICE r8).  AQE picks
+    # the broadcast join at runtime while the dim fits its threshold
+    # and falls back to ONE bigram-keyed shuffle join past it.
+    return (
+        occ.join(probs, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
