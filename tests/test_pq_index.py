@@ -71,3 +71,29 @@ def test_decode_matches_books(spark, sf_dir):
             [cb[m, cs[m]] for m in range(q_pq.PQ_M)]
         ).tolist()
         assert [int(x) for x in r["rv"]] == want
+
+
+def test_train_books_on_tiny_corpus(spark):
+    """A corpus with fewer than PQ_K vectors trains that many cells and
+    every emitted code stays in [0, kk) — the ADVICE-r8 regression
+    (the update loop used to index cents[j] past the seed list)."""
+    n = q_pq.PQ_K - 11  # 5 vectors, well under the codebook size
+    rows = [
+        (i, [((i + 1) * (d + 1)) % 97 for d in range(q_pq.PQ_M * q_pq.SUBD)])
+        for i in range(n)
+    ]
+    q = spark.createDataFrame(rows, "vec_id bigint, qv array<bigint>")
+    books = q_pq._train_books(q)
+    assert books is not None and len(books) == q_pq.PQ_M
+    assert all(len(book) == n for book in books), "must train only kk cells"
+    codes = q_pq._codes_df(q_pq._assign_codes(q, books)).collect()
+    assert len(codes) == n
+    for r in codes:
+        for m in range(q_pq.PQ_M):
+            assert 0 <= r[f"c{m}"] < n
+        assert r["err2"] >= 0
+
+
+def test_train_books_empty_corpus(spark):
+    q = spark.createDataFrame([], "vec_id bigint, qv array<bigint>")
+    assert q_pq._train_books(q) is None
