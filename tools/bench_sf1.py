@@ -155,6 +155,14 @@ def main() -> None:
             default=None,
         ),
         "sf1_dir": sf1,
+        "note": (
+            "ratios are weak scaling on FIXED local[32] hardware: "
+            "<= work_growth_x is sublinear; overhead-bound queries sit "
+            "near 1x while compute-bound ones approach the work growth. "
+            "Compare ABSOLUTE sf1 seconds across rounds, not ratios — "
+            "optimizing the sf0.1 side inflates the ratio of an "
+            "unchanged-or-faster sf1 run."
+        ),
     }
     print(json.dumps(doc))
     if out_path:
