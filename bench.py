@@ -116,6 +116,7 @@ HEADLINE = [
     "similarity_pq_upsert",
     "similarity_pq_drift",
     "similarity_ivfpq_recall",
+    "index_postings_upsert",
 ]
 
 
@@ -205,7 +206,7 @@ def main() -> None:
         names = [q for q in HEADLINE[:n] if q in d]
         return round(sum(d[q] for q in names), 3)
 
-    bounds = [27, 31, 38, 44, 49, 50, 54, 56, 60, 62, len(HEADLINE)]
+    bounds = [27, 31, 38, 44, 49, 50, 54, 56, 60, 62, 66, len(HEADLINE)]
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     )

@@ -81,7 +81,8 @@ ORACLE_QUERIES = [
     "similarity_topk_ivfpq", "similarity_ivf_upsert",
     "index_bm25_topk", "index_bm25_dense", "quality_lm_bigram_score",
     "similarity_ivfpq_recall", "similarity_pq_upsert",
-    "similarity_pq_drift",
+    "similarity_pq_drift", "similarity_pq_upsert_stream",
+    "index_postings_upsert",
 ]
 
 
