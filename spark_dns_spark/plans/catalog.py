@@ -411,9 +411,20 @@ _ROTATION_R8: dict[str, int] = {
 #: ~50, each with an in-window family representative.
 _ROTATION_R9: dict[str, int] = {
     # rotate OUT — r7-new, green r7+r8, untouched r9: the BPE family
-    # keeps vocab_bpe_merges + vocab_bpe_apply in-window; fertility
-    # stays under the full-catalog gate + bench every round.
+    # keeps vocab_bpe_merges in-window; apply/fertility stay under the
+    # full-catalog gate + bench every round.
     "vocab_bpe_fertility": 6,
+    # rotate OUT (making room for the r9-continuation upsert family —
+    # similarity_pq_upsert/_stream/_drift + index_postings_upsert, all
+    # NEW r9): the substring-dedup family keeps dedup_exact_substring
+    # in-window (both halves r8-green; the clean variant's span
+    # arithmetic stays pytest-pinned and under the full-catalog gate),
+    # and the correlated-subquery TPC-H family keeps q4 + q18 + q22
+    # in-window (q13 green r8, untouched).  These two leaving pull
+    # stream_dedup_replay (exactly-once replay) and vocab_bpe_merges
+    # (the BPE family rep) back inside the ~50 boundary.
+    "dedup_substring_clean": 6,
+    "tpch_q13_order_distribution": 6,
     # rotate OUT — r7-new, green r7+r8, untouched r9: the leakage
     # family keeps mlprep_leakage_free_split in-window; the audit's
     # cross-split-pairs==0 invariant stays pytest-pinned and under the
