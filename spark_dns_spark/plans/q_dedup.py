@@ -55,6 +55,14 @@ def _signatures(
     docs = spread(load_table(spark, sf_dir, "documents"))
     if where is not None:
         docs = docs.filter(where)
+    return _signatures_of(docs)
+
+
+def _signatures_of(docs: DataFrame) -> DataFrame:
+    """The tokenize→shingle→hash→sign pipeline over an arbitrary
+    (doc_id, text) relation — also the per-micro-batch stage of the
+    streaming incremental path (it is a stateless map, so it runs
+    unchanged inside foreachBatch)."""
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
     sh = toks.select("doc_id", dd.word_shingles("t", SHINGLE_N).alias("sh"))
     # persist BEFORE the filter and the 12-way signature fan-out:
@@ -206,8 +214,7 @@ def minhash_index_path(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
-@register(
-    "dedup_minhash_incremental",
+_MINHASH_INCR_SQL = (
     _SIG_CTE
     + f"""
 , banded AS (
@@ -238,7 +245,13 @@ FROM (
   JOIN sig sb ON sb.doc_id = id_b
 ) WHERE jac >= {JACCARD_T}
   AND (id_a % {BATCH_MOD} = {BATCH_REM} OR id_b % {BATCH_MOD} = {BATCH_REM})
-""",
+"""
+)
+
+
+@register(
+    "dedup_minhash_incremental",
+    _MINHASH_INCR_SQL,
     doc="INCREMENTAL near-dup dedup (VERDICT-r7 item 4): the corpus's "
     "signature+band tables are a persisted parquet index (built once "
     "per process, minhash_index_path); a new crawl batch (doc_id%10==7) "
@@ -266,6 +279,29 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "hs", *dd.band_keys(NUM_HASHES, ROWS_PER_BAND))
         .persist()
     )
+    return _probe_index_pairs(delta, idx_bands, idx_sigs).unionByName(
+        _batch_self_pairs(delta)
+    )
+
+
+def _pair_kind(id_a, id_b) -> F.Column:
+    """'new_new' iff BOTH ids are batch docs — derived from the ids so
+    the same probe serves the base-corpus index (always new_corpus)
+    and a streaming run's accumulated-new index (new_new when the
+    partner arrived in an earlier micro-batch)."""
+    return F.when(
+        ((id_a % BATCH_MOD) == BATCH_REM) & ((id_b % BATCH_MOD) == BATCH_REM),
+        F.lit("new_new"),
+    ).otherwise(F.lit("new_corpus"))
+
+
+def _probe_index_pairs(
+    delta: DataFrame, idx_bands: DataFrame, idx_sigs: DataFrame
+) -> DataFrame:
+    """Band-probe a persisted (bands, sigs) index with the delta's
+    signatures and verify exact Jaccard.  Shuffle keys are (band_idx,
+    band_key); at 100 TB the index is bucketed on them so the probe
+    co-locates without a corpus-side shuffle."""
     d_bands = delta.select(
         "doc_id",
         F.posexplode(
@@ -273,11 +309,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band_idx", "band_key"),
     )
     d_hs = delta.select("doc_id", "hs")
-
-    # new-vs-corpus: probe the persisted band index (shuffle keys are
-    # (band_idx, band_key); at 100 TB the index is bucketed on them so
-    # the probe co-locates without a corpus-side shuffle)
-    cand_nc = (
+    cand = (
         d_bands.alias("d")
         .join(idx_bands.alias("i"), ["band_idx", "band_key"])
         .select(
@@ -285,8 +317,8 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    pairs_nc = (
-        cand_nc.join(d_hs.withColumnRenamed("doc_id", "did"), "did")
+    return (
+        cand.join(d_hs.withColumnRenamed("doc_id", "did"), "did")
         .join(
             idx_sigs.withColumnRenamed("doc_id", "cid")
             .withColumnRenamed("hs", "hs_c"),
@@ -300,13 +332,18 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("did", "cid").alias("id_a"),
             F.greatest("did", "cid").alias("id_b"),
             "jaccard",
-            F.lit("new_corpus").alias("pair_kind"),
+            _pair_kind(F.least("did", "cid"), F.greatest("did", "cid")).alias(
+                "pair_kind"
+            ),
         )
     )
 
-    # new-vs-new: LSH self-join within the batch only
+
+def _batch_self_pairs(delta: DataFrame) -> DataFrame:
+    """LSH self-join within one batch of signatures (new-vs-new)."""
+    d_hs = delta.select("doc_id", "hs")
     cand_nn = dd.lsh_candidates(delta, "doc_id", NUM_BANDS)
-    pairs_nn = (
+    return (
         cand_nn.join(d_hs.withColumnRenamed("doc_id", "id_a"), "id_a")
         .join(
             d_hs.withColumnRenamed("doc_id", "id_b")
@@ -321,7 +358,6 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a", "id_b", "jaccard", F.lit("new_new").alias("pair_kind")
         )
     )
-    return pairs_nc.unionByName(pairs_nn)
 
 
 @register(
@@ -1039,3 +1075,101 @@ def linkage_field_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b", "jaccard_x1000", "score", "decision")
     )
+
+
+@register(
+    "dedup_minhash_stream",
+    _MINHASH_INCR_SQL,
+    doc="the incremental near-dup path as a CONTINUOUS crawl pipeline "
+    "with a SELF-UPDATING index: new documents arrive as a parquet "
+    "file stream (two micro-batches under maxFilesPerTrigger=1); each "
+    "micro-batch signs its docs (the stateless _signatures_of map), "
+    "band-probes the persisted corpus index PLUS the accumulated "
+    "index of earlier micro-batches, self-joins within the batch, "
+    "emits verified pairs, and APPENDS its own bands/sigs to the "
+    "accumulated index — so a pair spanning two micro-batches is "
+    "found exactly once (when the later doc arrives) and labeled "
+    "new_new from the ids.  Final pair set is byte-identical to the "
+    "batch dedup_minhash_incremental, whose SQL is the oracle.  At "
+    "100 TB this is daily-crawl dedup at micro-batch latency: "
+    "per-batch cost is |batch| signing + skinny index probes, and "
+    "the index grows by exactly the batch's bands",
+    tags=("dedup", "minhash", "lsh", "incremental", "streaming"),
+)
+def dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from spark_dns_spark.plans.feeds import (  # noqa: PLC0415
+        await_or_fail,
+        scratch_dir,
+    )
+
+    idx_root = minhash_index_path(spark, sf_dir)
+    root = scratch_dir("minhash_stream_")
+    src_dir = os.path.join(root, "src")
+    os.makedirs(src_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = docs.filter((F.col("doc_id") % BATCH_MOD) == BATCH_REM)
+    for i, half in enumerate(
+        (
+            delta.filter(F.expr(f"(doc_id div {BATCH_MOD}) % 2 = 0")),
+            delta.filter(F.expr(f"(doc_id div {BATCH_MOD}) % 2 = 1")),
+        )
+    ):
+        part_dir = os.path.join(root, f"half{i}")
+        half.coalesce(1).write.parquet(part_dir)
+        (part,) = [
+            f for f in os.listdir(part_dir) if f.endswith(".parquet")
+        ]
+        dst = os.path.join(src_dir, f"{i:02d}_batch.parquet")
+        shutil.copy(os.path.join(part_dir, part), dst)
+        mt = os.stat(dst).st_mtime
+        os.utime(dst, (mt - 10 * (1 - i), mt - 10 * (1 - i)))
+
+    out = os.path.join(root, "out")
+    acc_bands = os.path.join(root, "acc_bands")
+    acc_sigs = os.path.join(root, "acc_sigs")
+
+    def process(batch_docs: DataFrame, batch_id: int) -> None:
+        sp = batch_docs.sparkSession
+        sigs = _signatures_of(batch_docs).select(
+            "doc_id", "hs", *dd.band_keys(NUM_HASHES, ROWS_PER_BAND)
+        ).persist()
+        idx_bands = sp.read.parquet(f"{idx_root}/bands")
+        idx_sigs = sp.read.parquet(f"{idx_root}/sigs")
+        if os.path.isdir(acc_bands):
+            # earlier micro-batches' docs are index members too
+            idx_bands = idx_bands.unionByName(sp.read.parquet(acc_bands))
+            idx_sigs = idx_sigs.unionByName(sp.read.parquet(acc_sigs))
+        pairs = _probe_index_pairs(sigs, idx_bands, idx_sigs).unionByName(
+            _batch_self_pairs(sigs)
+        )
+        pairs.write.mode("append").parquet(out)
+        # append this batch to the accumulated index AFTER probing it
+        sigs.select(
+            "doc_id",
+            F.posexplode(
+                F.array(*[F.col(f"band{b}") for b in range(NUM_BANDS)])
+            ).alias("band_idx", "band_key"),
+        ).write.mode("append").parquet(acc_bands)
+        sigs.select("doc_id", "hs").write.mode("append").parquet(acc_sigs)
+        sigs.unpersist()
+
+    physical = spark.read.parquet(src_dir).schema
+    q = (
+        spark.readStream.schema(physical)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(root, ".ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_fail(q, 300)
+    if not os.path.isdir(out):
+        return spark.createDataFrame(
+            [],
+            "id_a bigint, id_b bigint, jaccard double, pair_kind string",
+        )
+    return spark.read.parquet(out)

@@ -61,6 +61,7 @@ SKIP = {
     "stream_dedup_replay",
     "stream_attribution_join",
     "similarity_pq_upsert_stream",
+    "dedup_minhash_stream",
 }
 
 

@@ -82,7 +82,7 @@ ORACLE_QUERIES = [
     "index_bm25_topk", "index_bm25_dense", "quality_lm_bigram_score",
     "similarity_ivfpq_recall", "similarity_pq_upsert",
     "similarity_pq_drift", "similarity_pq_upsert_stream",
-    "index_postings_upsert",
+    "index_postings_upsert", "dedup_minhash_stream",
 ]
 
 
