@@ -1089,8 +1089,13 @@ def linkage_field_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emits verified pairs, and APPENDS its own bands/sigs to the "
     "accumulated index — so a pair spanning two micro-batches is "
     "found exactly once (when the later doc arrives) and labeled "
-    "new_new from the ids.  Final pair set is byte-identical to the "
-    "batch dedup_minhash_incremental, whose SQL is the oracle.  At "
+    "new_new from the ids.  All foreachBatch writes are IDEMPOTENT "
+    "under the sink's at-least-once retry contract: pairs and index "
+    "appendices land in per-batch subdirs with mode=overwrite, and a "
+    "batch's probe excludes its own appendix — a retried batch "
+    "rewrites its output instead of duplicating it.  Final pair set "
+    "is byte-identical to the batch dedup_minhash_incremental, whose "
+    "SQL is the oracle.  At "
     "100 TB this is daily-crawl dedup at micro-batch latency: "
     "per-batch cost is |batch| signing + skinny index probes, and "
     "the index grows by exactly the batch's bands",
@@ -1131,6 +1136,19 @@ def dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     acc_bands = os.path.join(root, "acc_bands")
     acc_sigs = os.path.join(root, "acc_sigs")
 
+    def _earlier(base_dir: str, batch_id: int) -> list[str]:
+        """Subdirs of strictly earlier micro-batches — excluding the
+        current batch_id makes a foreachBatch RETRY idempotent: the
+        retried batch never probes its own (half-written) appendix,
+        and every write below is an overwrite keyed by batch_id."""
+        if not os.path.isdir(base_dir):
+            return []
+        return [
+            os.path.join(base_dir, d)
+            for d in sorted(os.listdir(base_dir))
+            if d.startswith("b") and d != f"b{batch_id}"
+        ]
+
     def process(batch_docs: DataFrame, batch_id: int) -> None:
         sp = batch_docs.sparkSession
         sigs = _signatures_of(batch_docs).select(
@@ -1138,22 +1156,31 @@ def dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).persist()
         idx_bands = sp.read.parquet(f"{idx_root}/bands")
         idx_sigs = sp.read.parquet(f"{idx_root}/sigs")
-        if os.path.isdir(acc_bands):
+        prior_b = _earlier(acc_bands, batch_id)
+        if prior_b:
             # earlier micro-batches' docs are index members too
-            idx_bands = idx_bands.unionByName(sp.read.parquet(acc_bands))
-            idx_sigs = idx_sigs.unionByName(sp.read.parquet(acc_sigs))
+            idx_bands = idx_bands.unionByName(sp.read.parquet(*prior_b))
+            idx_sigs = idx_sigs.unionByName(
+                sp.read.parquet(*_earlier(acc_sigs, batch_id))
+            )
         pairs = _probe_index_pairs(sigs, idx_bands, idx_sigs).unionByName(
             _batch_self_pairs(sigs)
         )
-        pairs.write.mode("append").parquet(out)
-        # append this batch to the accumulated index AFTER probing it
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(out, f"b{batch_id}")
+        )
+        # publish this batch to the accumulated index AFTER probing it
         sigs.select(
             "doc_id",
             F.posexplode(
                 F.array(*[F.col(f"band{b}") for b in range(NUM_BANDS)])
             ).alias("band_idx", "band_key"),
-        ).write.mode("append").parquet(acc_bands)
-        sigs.select("doc_id", "hs").write.mode("append").parquet(acc_sigs)
+        ).write.mode("overwrite").parquet(
+            os.path.join(acc_bands, f"b{batch_id}")
+        )
+        sigs.select("doc_id", "hs").write.mode("overwrite").parquet(
+            os.path.join(acc_sigs, f"b{batch_id}")
+        )
         sigs.unpersist()
 
     physical = spark.read.parquet(src_dir).schema
@@ -1167,9 +1194,14 @@ def dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     await_or_fail(q, 300)
-    if not os.path.isdir(out):
+    batch_outs = [
+        os.path.join(out, d)
+        for d in sorted(os.listdir(out))
+        if d.startswith("b")
+    ] if os.path.isdir(out) else []
+    if not batch_outs:
         return spark.createDataFrame(
             [],
             "id_a bigint, id_b bigint, jaccard double, pair_kind string",
         )
-    return spark.read.parquet(out)
+    return spark.read.parquet(*batch_outs)
