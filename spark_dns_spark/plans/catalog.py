@@ -425,6 +425,11 @@ _ROTATION_R9: dict[str, int] = {
     # (the BPE family rep) back inside the ~50 boundary.
     "dedup_substring_clean": 6,
     "tpch_q13_order_distribution": 6,
+    # rotate OUT (making room for dedup_minhash_stream, NEW r9): the
+    # minhash family keeps lsh + incremental + stream in-window;
+    # the signatures-only map query is r8-green and its values are a
+    # strict prefix of every other family member's lineage.
+    "dedup_minhash_signatures": 6,
     # rotate OUT — r7-new, green r7+r8, untouched r9: the leakage
     # family keeps mlprep_leakage_free_split in-window; the audit's
     # cross-split-pairs==0 invariant stays pytest-pinned and under the
