@@ -108,7 +108,7 @@ HEADLINE = [
     # use the 27/31/38/44/49/50/54/56/60 boundaries)
     "similarity_topk_ivfpq",
     "index_bm25_dense",
-    # round-9 continuation tier (62 -> 66): the incremental index
+    # round-9 continuation tier (62 -> 67): the incremental index
     # maintenance family (IVF/PQ upserts + the retrain-trigger metric)
     # and the composed-serve recall gate (prefix comparisons vs prior
     # rounds use the 27/31/38/44/49/50/54/56/60/62 boundaries)
@@ -206,7 +206,7 @@ def main() -> None:
         names = [q for q in HEADLINE[:n] if q in d]
         return round(sum(d[q] for q in names), 3)
 
-    bounds = [27, 31, 38, 44, 49, 50, 54, 56, 60, 62, 66, len(HEADLINE)]
+    bounds = [27, 31, 38, 44, 49, 50, 54, 56, 60, 62, len(HEADLINE)]
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     )

@@ -35,11 +35,18 @@ def scratch_dir(prefix: str) -> str:
     return root
 
 
-#: One lock for every persisted-index cache (minhash / IVF / PQ): the
-#: builds are seconds-long one-time costs, so serializing concurrent
-#: first builds is cheaper than the duplicate build + leaked scratch
-#: dir a bare dict check/insert race produces (ADVICE r8).
+#: Guards ONLY the cache-dict / latch-dict lookups (never held across
+#: a build): a hit on one index cache must not stall behind another
+#: index's seconds-long in-flight build.  Per-(cache, key) latches
+#: below serialize concurrent SAME-index first builds so a bare
+#: check/insert race can't produce a duplicate build + leaked scratch
+#: dir (ADVICE r8).
 _INDEX_LOCK = threading.Lock()
+
+#: (id(cache), key) -> lock for an in-flight build.  Keyed by the
+#: cache identity too: different indexes legitimately share
+#: (sf_dir, mtime) keys.
+_BUILD_LATCHES: dict = {}
 
 
 def cached_index_path(
@@ -50,21 +57,31 @@ def cached_index_path(
     ``build(root)`` populates a fresh scratch dir; the cache key is
     ``(sf_dir, mtime(source parquet))`` so a regenerated backing
     dataset invalidates the cached index within the process instead of
-    silently serving stale postings (ADVICE r8).  Double-checked
-    locking: the common hit path takes the lock only for the dict
-    lookup; a miss builds under the lock so two simultaneous first
-    calls produce ONE build and ONE scratch dir."""
+    silently serving stale postings (ADVICE r8).  Locking: the global
+    lock covers only dict lookups, so a cache HIT never waits on an
+    unrelated index's in-flight build; a per-(cache, key) latch makes
+    two simultaneous first calls produce ONE build and ONE scratch
+    dir."""
     src = os.path.join(sf_dir, source)
     try:
         key = (sf_dir, os.path.getmtime(src))
     except OSError:
         key = (sf_dir, None)
     with _INDEX_LOCK:
-        if key not in cache:
-            root = scratch_dir("idx_")
-            build(root)
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+        latch = _BUILD_LATCHES.setdefault((id(cache), key), threading.Lock())
+    with latch:
+        with _INDEX_LOCK:  # the build may have finished while we waited
+            hit = cache.get(key)
+        if hit is not None:
+            return hit
+        root = scratch_dir("idx_")
+        build(root)
+        with _INDEX_LOCK:
             cache[key] = root
-        return cache[key]
+        return root
 
 
 @contextmanager

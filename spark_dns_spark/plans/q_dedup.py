@@ -58,11 +58,17 @@ def _signatures(
     return _signatures_of(docs)
 
 
-def _signatures_of(docs: DataFrame) -> DataFrame:
+def _signatures_of(
+    docs: DataFrame, caches: list[DataFrame] | None = None
+) -> DataFrame:
     """The tokenize→shingle→hash→sign pipeline over an arbitrary
     (doc_id, text) relation — also the per-micro-batch stage of the
     streaming incremental path (it is a stateless map, so it runs
-    unchanged inside foreachBatch)."""
+    unchanged inside foreachBatch).  The internal cache is normally
+    released by the catalog wrapper's release_all_caches safety net at
+    the NEXT query entry; callers that invoke this repeatedly WITHIN
+    one query (foreachBatch) pass ``caches`` to collect the persisted
+    frame and unpersist it per batch."""
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
     sh = toks.select("doc_id", dd.word_shingles("t", SHINGLE_N).alias("sh"))
     # persist BEFORE the filter and the 12-way signature fan-out:
@@ -70,6 +76,8 @@ def _signatures_of(docs: DataFrame) -> DataFrame:
     # consumer by filter-pushdown/projection-collapse, so without this
     # cache the tokenize→shingle→md5 pipeline re-runs per consumer.
     hs = sh.select("doc_id", dd.shingle_hashes(F.col("sh")).alias("hs")).persist()
+    if caches is not None:
+        caches.append(hs)
     return hs.filter(F.size("hs") > 0).select(
         "doc_id", "hs", *dd.minhash_signature("hs", NUM_HASHES)
     )
@@ -1151,7 +1159,8 @@ def dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def process(batch_docs: DataFrame, batch_id: int) -> None:
         sp = batch_docs.sparkSession
-        sigs = _signatures_of(batch_docs).select(
+        inner_caches: list[DataFrame] = []
+        sigs = _signatures_of(batch_docs, caches=inner_caches).select(
             "doc_id", "hs", *dd.band_keys(NUM_HASHES, ROWS_PER_BAND)
         ).persist()
         idx_bands = sp.read.parquet(f"{idx_root}/bands")
@@ -1182,6 +1191,8 @@ def dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(acc_sigs, f"b{batch_id}")
         )
         sigs.unpersist()
+        for c in inner_caches:  # per-batch release: the catalog-entry
+            c.unpersist()  # safety net can't run WITHIN an invocation
 
     physical = spark.read.parquet(src_dir).schema
     q = (

@@ -41,14 +41,6 @@ SCALE = 1000  #: integer quantization: q_i = floor(v_i * SCALE + 0.5)
 DIM = sim.DIM
 
 
-def int_dist(cv: list[int]) -> str:
-    """Spark codegen integer ||q - c||^2 with the centroid inlined as
-    literals over scalar columns q0..q{DIM-1}."""
-    return "0L" + "".join(
-        f" + (q{i} - {int(c)})*(q{i} - {int(c)})" for i, c in enumerate(cv)
-    )
-
-
 def dist_sql(qv: str, cv: str) -> str:
     """DuckDB integer ||qv - cv||^2 fold over two BIGINT lists (1-based)."""
     return "0" + "".join(
@@ -56,8 +48,11 @@ def dist_sql(qv: str, cv: str) -> str:
     )
 
 
-# backward-compatible private aliases (pre-r7 internal names)
-_int_dist = int_dist
+# backward-compatible private alias (pre-r7 internal name).  The old
+# int_dist (inlined-centroid-literal Spark codegen) is gone: at
+# K=20 x DIM=64 the generated method exceeded janino's limit and ran
+# INTERPRETED — cells_udf (the Arrow argmin kernel) is the assignment
+# path now; do not resurrect the literal expansion.
 _dist_sql = dist_sql
 
 #: DuckDB projection list quantizing a DOUBLE[] column ``v`` (1-based)
@@ -94,8 +89,8 @@ def lloyd_train(
     q: DataFrame, cents: list[list[int]], iters: int
 ) -> list[list[int]]:
     """Run ``iters - 1`` Lloyd update rounds and return the final
-    centroids.  Per round: one codegen argmin assignment (centroid
-    literals inlined — the vectors never shuffle) plus one map-side-
+    centroids.  Per round: one Arrow-kernel argmin assignment
+    (cells_udf — a map, the vectors never shuffle) plus one map-side-
     combinable aggregate shipping K x (DIM+1) partials; the only driver
     state is the K-row centroid model (``floor(S_i / m)``, exact in
     both engines)."""
@@ -248,7 +243,7 @@ def _assign(q: DataFrame, cents: list[list[int]]) -> DataFrame:
     "kmeans_lloyd_cells",
     _KMEANS_SQL,
     doc=f"Lloyd k-means, {ITERS} iterations, k={K}: integer-quantized "
-    "vectors, centroid literals inlined into a codegen argmin (no join, "
+    "vectors, Arrow-batched argmin assignment kernel (a map — no join, "
     "no vector shuffle — only K x (DIM+1) aggregate partials move per "
     "iteration), floor-division centroid update exact in both engines",
     tags=("similarity", "mlprep", "iterative"),

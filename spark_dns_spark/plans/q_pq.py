@@ -528,6 +528,10 @@ def similarity_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "query_id bigint, hits bigint, recall_e4 bigint"
         )
+    # Lifetime: released by the consuming harness / the catalog
+    # wrapper's release_all_caches at the next query entry (the result
+    # is consumed after return, so a finally-unpersist here would
+    # recompute the final collect — see session.release_all_caches).
     q = _quantized(spark, sf_dir).persist()
     recon = _recon_from_codes(spark, root, books)
     # Bounded recall sample (see ADC_QBUDGET): identical integer
@@ -697,9 +701,11 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ADC stage: decode survivors from their stored codes (map-only),
     # rank by integer L2 against the (broadcast) quantized queries.
     recon = _recon_from_codes(spark, pq_root, books)
-    queries = _quantize_arr(
-        n.filter(F.col("vec_id") % qs.QMOD == 0).select("vec_id", "v")
-    ).select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qq"))
+    # Reuse the probe stage's quantized queries (km.quantize == the
+    # array form value-for-value) — one query scan, not two.
+    queries = qq.select(
+        F.col("vec_id").alias("query_id"), km._qarr().alias("qq")
+    )
     shortlist_k = max(IVFPQ_SHORT_MIN, n.count() // IVFPQ_SHORT_DIV)
     cand = _topk_by(
         icand.join(recon, "neighbor_id").join(F.broadcast(queries), "query_id"),
