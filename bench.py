@@ -117,6 +117,19 @@ HEADLINE = [
     "similarity_pq_drift",
     "similarity_ivfpq_recall",
     "index_postings_upsert",
+    # round-9 continuation-2 tier (67 -> 76): the TPC-H breadth pack II
+    # (integer-e4 revenue convention) + the count-min sketch and the
+    # CCNet-style boilerplate fraction (prefix comparisons vs prior
+    # rounds use the 27/.../62/67 boundaries)
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "sketch_countmin_freq",
+    "curation_boilerplate_fraction",
 ]
 
 
@@ -206,7 +219,7 @@ def main() -> None:
         names = [q for q in HEADLINE[:n] if q in d]
         return round(sum(d[q] for q in names), 3)
 
-    bounds = [27, 31, 38, 44, 49, 50, 54, 56, 60, 62, len(HEADLINE)]
+    bounds = [27, 31, 38, 44, 49, 50, 54, 56, 60, 62, 67, len(HEADLINE)]
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     )

@@ -452,6 +452,27 @@ _ROTATION_R9: dict[str, int] = {
     # pytest-pinned (test_streaming tests) and under the full-catalog
     # gate.
     "stream_attribution_join": 6,
+    # --- r9 continuation 2: the TPC-H breadth pack II (q5/q7/q8/q10/
+    # q14/q17/q19, NEW — integer-e4 revenue convention) + sketch_
+    # countmin_freq + curation_boilerplate_fraction enter via the
+    # tier-5 default (9 new entries).  Eleven multi-round-green
+    # untouched shapes leave, each with an in-window family
+    # representative; ALL stay under the full-catalog oracle gate +
+    # bench every round.
+    "dedup_simhash": 6,  # rep: minhash lsh/incremental/stream + SNM
+    "linkage_field_scores": 6,  # green r7-r9; pytest-pinned scoring
+    "events_user_zscore": 6,  # rep: events_cusum_drift
+    "sessionize_events": 6,  # rep: sessionize_stream_stateful
+    "similarity_ivf_build": 6,  # rep: ivf_upsert + ivf_recall serve the
+    "similarity_topk_ivf": 6,  # ...same persisted index; byte-identity
+    #                            pytest-pinned (test_ivf_index.py)
+    "tpch_q18_large_orders": 6,  # rep: q4 EXISTS stays; NEW q17 enters
+    "tpch_q22_idle_rich_customers": 6,  # ...the correlated family
+    "stream_dedup_replay": 6,  # rep: dedup_minhash_stream +
+    #                            similarity_pq_upsert_stream
+    "vocab_bpe_apply": 6,  # rep: vocab_bpe_merges
+    "mix_token_budget_apportion": 6,  # rep: quality_lm_bigram_score +
+    #                            NEW curation_boilerplate_fraction
 }
 
 
@@ -526,6 +547,7 @@ def catalog() -> dict[str, Query]:
         q_bpe,
         q_cooccur,
         q_basket,
+        q_tpch2,
     )
 
     order = {n: i for i, n in enumerate(_REGISTRY)}

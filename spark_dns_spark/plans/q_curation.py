@@ -498,3 +498,89 @@ def mix_token_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("quota"),
         )
     )
+
+
+# --- boilerplate detection --------------------------------------------------
+
+BOILER_N = 4  #: shingle width (words) for the boilerplate unit
+BOILER_MIN_DOCS = 3  #: a shingle in >= this many docs OF ONE SOURCE is boilerplate
+
+
+def _boiler_sql() -> str:
+    from spark_dns_spark.functions.dnsfn import portable_hash32_sql
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+           {dd.word_shingles_sql("t", BOILER_N)},
+           s -> {portable_hash32_sql("s")}))) AS h
+  FROM toks
+), dfreq AS (
+  SELECT source, h, count(*)::BIGINT AS df FROM sh GROUP BY source, h
+), per AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_shingles,
+         sum(CASE WHEN df >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END)::BIGINT
+           AS n_boiler
+  FROM sh JOIN dfreq USING (source, h)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_shingles, n_boiler,
+       n_boiler * 10000 // n_shingles AS boiler_pct_e4
+FROM per WHERE n_shingles > 0
+"""
+
+
+@register(
+    "curation_boilerplate_fraction",
+    _boiler_sql(),
+    doc=f"CCNet-style boilerplate detection: a {BOILER_N}-word shingle "
+    f"appearing in >= {BOILER_MIN_DOCS} distinct documents of the SAME "
+    "source (nav bars, footers, license headers repeat within a crawl "
+    "domain) is boilerplate; each doc gets its boilerplate fraction "
+    "(integer e4, floor-div — exact in both engines).  Per-doc "
+    "DISTINCT shingle hashes are computed map-side BEFORE the explode, "
+    "then two skinny-key shuffles — (source, hash32) doc-frequency and "
+    "the doc_id rollup; the corpus text itself never shuffles, the "
+    "same budget shape as the exact-substring dedup family",
+    tags=("curation", "text"),
+)
+def curation_boilerplate_fraction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spark_dns_spark.functions.dnsfn import portable_hash32
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("t")
+    )
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    dd.word_shingles("t", BOILER_N), portable_hash32
+                )
+            )
+        ).alias("h"),
+    )
+    dfreq = sh.groupBy("source", "h").agg(F.count(F.lit(1)).alias("df"))
+    per = (
+        sh.join(dfreq, ["source", "h"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("df") >= BOILER_MIN_DOCS, 1).otherwise(0)
+            ).alias("n_boiler"),
+        )
+    )
+    return per.filter(F.col("n_shingles") > 0).select(
+        "doc_id",
+        "n_shingles",
+        "n_boiler",
+        F.expr("n_boiler * 10000 div n_shingles").alias("boiler_pct_e4"),
+    )

@@ -265,3 +265,131 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("long").alias("rn"),
         )
     )
+
+
+# --- count-min sketch -------------------------------------------------------
+
+CMS_D = 4  #: sketch depth (independent hash rows)
+CMS_W = 512  #: sketch width (buckets per row); error ~ N/W per row
+CMS_PROBE_K = 20  #: probe terms: the exact top-K (deterministic ties)
+
+
+def _cms_sql() -> str:
+    """DuckDB oracle: same md5-derived affine hashes, same cells, same
+    min-over-rows estimate as the Spark plan."""
+    from spark_dns_spark.functions.dnsfn import portable_hash32_sql
+    from spark_dns_spark.operators.dedup import MINHASH_P, _affine_consts
+
+    consts = _affine_consts(CMS_D)
+    rows = "\n    UNION ALL ".join(
+        f"SELECT {k} AS k, (h * {a} + {b}) % {MINHASH_P} % {CMS_W} AS bucket"
+        " FROM h"
+        for k, (a, b) in enumerate(consts)
+    )
+    probe_or = " OR ".join(
+        f"(c.k = {k} AND c.bucket = (t.h * {a} + {b})"
+        f" % {MINHASH_P} % {CMS_W})"
+        for k, (a, b) in enumerate(consts)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), h AS (
+  SELECT {portable_hash32_sql("w")} AS h FROM toks
+), cells AS (
+  SELECT k, bucket, count(*)::BIGINT AS cnt FROM (
+    {rows}
+  ) GROUP BY k, bucket
+), exact AS (
+  SELECT w, count(*)::BIGINT AS exact_n FROM toks GROUP BY w
+), probe AS (
+  SELECT w, exact_n FROM (
+    SELECT w, exact_n,
+           ROW_NUMBER() OVER (ORDER BY exact_n DESC, w) AS rk
+    FROM exact
+  ) WHERE rk <= {CMS_PROBE_K}
+), est AS (
+  SELECT t.w, t.exact_n, min(c.cnt) AS est_n
+  FROM (SELECT w, exact_n, {portable_hash32_sql("w")} AS h FROM probe) t
+  JOIN cells c ON {probe_or}
+  GROUP BY t.w, t.exact_n
+)
+SELECT w, exact_n, est_n, est_n - exact_n AS overcount FROM est
+"""
+
+
+@register(
+    "sketch_countmin_freq",
+    _cms_sql(),
+    doc=f"count-min sketch frequency estimation, d={CMS_D} x w={CMS_W}: "
+    "one pass builds the sketch (a fixed d*w-cell integer grid — "
+    "map-side-combinable counts, CONSTANT state at any corpus size, "
+    "the property that matters at 100 TB where an exact term-frequency "
+    "table is itself corpus-sized), then the exact top-"
+    f"{CMS_PROBE_K} terms are probed against it: est = min over rows "
+    "of the term's cell, always >= exact (one-sided error).  The "
+    "sketch (not the corpus) broadcasts to the probe join; hashes are "
+    "the md5-affine family the minhash path uses, so the oracle "
+    "reproduces every cell bit-for-bit",
+    tags=("sketch", "agg"),
+)
+def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_dns_spark.functions.dnsfn import portable_hash32
+    from spark_dns_spark.operators.dedup import MINHASH_P, _affine_consts
+    from pyspark.sql import Window
+
+    consts = _affine_consts(CMS_D)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    hs = toks.select(portable_hash32("w").alias("h"))
+    cells = (
+        hs.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        (F.col("h") * F.lit(a) + F.lit(b))
+                        % F.lit(MINHASH_P)
+                        % F.lit(CMS_W)
+                        for (a, b) in consts
+                    ]
+                )
+            ).alias("k", "bucket")
+        )
+        .groupBy("k", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = toks.groupBy("w").agg(F.count(F.lit(1)).alias("exact_n"))
+    rk = Window.orderBy(F.desc("exact_n"), F.asc("w"))
+    probe = (
+        exact.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= CMS_PROBE_K)
+        .select("w", "exact_n", portable_hash32("w").alias("h"))
+    )
+    # the term's CMS_D cell coordinates, exploded to (k, bucket) rows
+    pcells = probe.select(
+        "w",
+        "exact_n",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.col("h") * F.lit(a) + F.lit(b))
+                    % F.lit(MINHASH_P)
+                    % F.lit(CMS_W)
+                    for (a, b) in consts
+                ]
+            )
+        ).alias("k", "bucket"),
+    )
+    # cells is bounded by d*w (a constant), so the broadcast hint is
+    # legitimate at ANY corpus size — unlike corpus-derived dims.
+    return (
+        pcells.join(F.broadcast(cells), ["k", "bucket"])
+        .groupBy("w", "exact_n")
+        .agg(F.min("cnt").alias("est_n"))
+        .select(
+            "w",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+        )
+    )

@@ -1,0 +1,89 @@
+"""Semantic contracts for the r9-continuation curation/sketch ops.
+
+Oracle parity (tools/check_oracle.py) proves cross-engine equality;
+these tests pin the ALGORITHMIC invariants on constructed inputs —
+the guarantees a user of the operator relies on, independent of what
+the synthetic corpus happens to contain.
+"""
+
+from __future__ import annotations
+
+from spark_dns_spark.plans.q_curation import (
+    BOILER_MIN_DOCS,
+    curation_boilerplate_fraction,
+)
+from spark_dns_spark.plans.q_sampling import (
+    CMS_PROBE_K,
+    sketch_countmin_freq,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_countmin_one_sided_error(spark):
+    """CMS estimates NEVER undercount (every occurrence lands in the
+    queried cell plus possibly others) and the probe set is exactly
+    the top-K terms."""
+    rows = sketch_countmin_freq(spark, SF_SMALL).collect()
+    assert len(rows) == CMS_PROBE_K
+    for r in rows:
+        assert r["overcount"] >= 0, f"CMS undercounted {r['w']}"
+        assert r["est_n"] == r["exact_n"] + r["overcount"]
+        assert r["exact_n"] >= 1
+
+
+def test_boilerplate_flags_repeated_phrase(spark, tmp_path):
+    """A 4-word phrase shared by >= BOILER_MIN_DOCS docs of one source
+    is boilerplate; the same phrase in a DIFFERENT source with fewer
+    repeats is not (the per-source scoping that makes this CCNet-like
+    rather than global dedup)."""
+    phrase = "all rights strictly reserved"
+    docs = [
+        # srcA: the phrase appears in 3 docs (== BOILER_MIN_DOCS)
+        (1, f"{phrase} alpha beta gamma delta", "srcA"),
+        (2, f"{phrase} epsilon zeta eta theta", "srcA"),
+        (3, f"{phrase} iota kappa lam mu", "srcA"),
+        # srcA: no phrase — zero boilerplate shingles
+        (4, "nu xi omicron pi rho sigma tau", "srcA"),
+        # srcB: the phrase appears ONCE — below the threshold there
+        (5, f"{phrase} upsilon phi chi psi", "srcB"),
+    ]
+    src = tmp_path / "documents.parquet"
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(src))
+    out = {
+        r["doc_id"]: r
+        for r in curation_boilerplate_fraction(spark, str(tmp_path)).collect()
+    }
+    assert BOILER_MIN_DOCS == 3  # the fixture above is built for this
+    # docs 1-3: exactly the one shared 4-word shingle is boilerplate
+    for d in (1, 2, 3):
+        assert out[d]["n_boiler"] == 1, out[d]
+        assert 0 < out[d]["boiler_pct_e4"] < 10000
+        assert (
+            out[d]["boiler_pct_e4"]
+            == 10000 // out[d]["n_shingles"]
+        )
+    # doc 4 (no phrase) and doc 5 (phrase, wrong source): clean
+    assert out[4]["n_boiler"] == 0 and out[4]["boiler_pct_e4"] == 0
+    assert out[5]["n_boiler"] == 0 and out[5]["boiler_pct_e4"] == 0
+
+
+def test_boilerplate_fraction_full_doc(spark, tmp_path):
+    """A doc that is NOTHING BUT a repeated template scores 10000 e4
+    (the signal a mix-filter thresholds on)."""
+    tmpl = "copyright two thousand twenty six acme"
+    docs = [(i, tmpl, "srcA") for i in range(1, 4)] + [
+        (9, "completely original content words here", "srcA")
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in curation_boilerplate_fraction(spark, str(tmp_path)).collect()
+    }
+    assert all(out[d]["boiler_pct_e4"] == 10000 for d in (1, 2, 3))
+    assert out[9]["boiler_pct_e4"] == 0

@@ -51,6 +51,10 @@ QUERIES = [
     "index_bm25_topk",
     "index_bm25_dense",
     "quality_lm_bigram_score",
+    # r9 continuation-2 additions (corpus-scaling; the TPC-H pack II is
+    # NOT here — make_sf1 scales documents/embeddings/events only)
+    "curation_boilerplate_fraction",
+    "sketch_countmin_freq",
 ]
 
 #: the full heavy-tier ORACLE list for the sf1 cross-engine gate
@@ -83,6 +87,7 @@ ORACLE_QUERIES = [
     "similarity_ivfpq_recall", "similarity_pq_upsert",
     "similarity_pq_drift", "similarity_pq_upsert_stream",
     "index_postings_upsert", "dedup_minhash_stream",
+    "curation_boilerplate_fraction", "sketch_countmin_freq",
 ]
 
 
