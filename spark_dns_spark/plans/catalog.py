@@ -473,6 +473,12 @@ _ROTATION_R9: dict[str, int] = {
     "vocab_bpe_apply": 6,  # rep: vocab_bpe_merges
     "mix_token_budget_apportion": 6,  # rep: quality_lm_bigram_score +
     #                            NEW curation_boilerplate_fraction
+    # rotate OUT (making room for dedup_url_canonical, NEW — the
+    # crawl-pipeline URL-canonicalization dedup): the SNM family keeps
+    # dedup_snm_span_clusters benched + pytest-pinned
+    # (test_sorted_neighborhood), and sorted_neighborhood is green
+    # r7-r9 untouched.
+    "dedup_sorted_neighborhood": 6,
 }
 
 

@@ -1216,3 +1216,126 @@ def dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a bigint, id_b bigint, jaccard double, pair_kind string",
         )
     return spark.read.parquet(*batch_outs)
+
+
+# --- URL canonicalization dedup ---------------------------------------------
+
+#: Path-id modulus for the synthetic URL (below): distinct docs of one
+#: source sharing ``doc_id % URL_PATH_MOD`` are the SAME page fetched
+#: under different raw URLs — the duplicate population.
+URL_PATH_MOD = 100
+
+#: The synthetic raw URL, derived deterministically from (doc_id,
+#: source) — the feeds.py precedent (the testdata has no URL column).
+#: Noise axes a crawler actually sees: scheme/host casing (%3, %2),
+#: trailing slash (%4), utm tracking params (%5), fragment (%7).
+_URL_SQL = """
+CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END
+|| CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+|| '.example.com/articles/' || CAST(doc_id % {mod} AS VARCHAR)
+|| CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+|| CASE WHEN doc_id % 5 = 0
+        THEN '?utm_source=feed&utm_id=' || CAST(doc_id AS VARCHAR)
+        ELSE '' END
+|| CASE WHEN doc_id % 7 = 0 THEN '#section2' ELSE '' END
+""".format(mod=URL_PATH_MOD)
+
+
+def _url_col() -> Column:
+    """Spark mirror of :data:`_URL_SQL`."""
+    return F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("HTTPS://")).otherwise(
+            F.lit("https://")
+        ),
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source")).otherwise(
+            F.col("source")
+        ),
+        F.lit(".example.com/articles/"),
+        (F.col("doc_id") % URL_PATH_MOD).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&utm_id="),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#section2")).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+@register(
+    "dedup_url_canonical",
+    f"""
+WITH raw AS (
+  SELECT doc_id, {_URL_SQL} AS url FROM documents
+), nofrag AS (
+  SELECT doc_id, string_split(url, '#')[1] AS u FROM raw
+), noq AS (
+  SELECT doc_id, string_split(u, '?')[1] AS u FROM nofrag
+), split AS (
+  SELECT doc_id,
+         array_to_string(string_split(u, '/')[1:3], '/') AS pre,
+         substr(u, len(array_to_string(string_split(u, '/')[1:3], '/')) + 1)
+           AS rest
+  FROM noq
+), canon AS (
+  SELECT doc_id, lower(pre) || rtrim(rest, '/') AS url_canonical FROM split
+)
+SELECT url_canonical,
+       count(*) AS n_variants,
+       min(doc_id) AS keep_doc_id,
+       max(doc_id) AS max_doc_id
+FROM canon
+GROUP BY url_canonical
+HAVING count(*) > 1
+""",
+    doc="URL canonicalization dedup — step 1 of a crawl pipeline, "
+    "BEFORE any content hashing: lowercase scheme+host (never the "
+    "path — paths are case-significant), strip the fragment, strip "
+    "tracking query params, strip the trailing slash, then group on "
+    "the canonical form (min-doc_id canonical representative, the "
+    "exact-dedup convention).  Entirely map-side string expressions + "
+    "ONE skinny-key aggregate on the canonical URL; at 100 TB this "
+    "runs ahead of fetch/content dedup and its key cardinality is the "
+    "distinct-page count, not the crawl-log size.  The raw URL is "
+    "derived deterministically from (doc_id, source) with the noise "
+    "axes a crawler sees (casing, utm params, fragments, trailing "
+    "slashes) — the feeds.py synthetic-derivation precedent, the "
+    "testdata has no URL column.",
+    tags=("dedup", "curation", "text"),
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _url_col().alias("url")
+    )
+    nofrag = docs.select(
+        "doc_id", F.substring_index("url", "#", 1).alias("u")
+    )
+    noq = nofrag.select(
+        "doc_id", F.substring_index("u", "?", 1).alias("u")
+    )
+    split = noq.select(
+        "doc_id",
+        F.substring_index("u", "/", 3).alias("pre"),
+        F.expr("substr(u, length(substring_index(u, '/', 3)) + 1)").alias(
+            "rest"
+        ),
+    )
+    canon = split.select(
+        "doc_id",
+        F.concat(F.lower("pre"), F.expr("rtrim('/', rest)")).alias(
+            "url_canonical"
+        ),
+    )
+    return (
+        canon.groupBy("url_canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("n_variants") > 1)
+    )
