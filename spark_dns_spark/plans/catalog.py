@@ -479,6 +479,12 @@ _ROTATION_R9: dict[str, int] = {
     # (test_sorted_neighborhood), and sorted_neighborhood is green
     # r7-r9 untouched.
     "dedup_sorted_neighborhood": 6,
+    # rotate OUT (making room for contamination_bloom_filter, NEW —
+    # the constant-state decontamination sketch): the graph family
+    # keeps graph_pagerank_transitions in-window; clustering
+    # coefficient + triangles are green r7-r9 untouched, benched, and
+    # share the LSH pair-graph lineage pytest pins.
+    "graph_clustering_coefficient": 6,
 }
 
 

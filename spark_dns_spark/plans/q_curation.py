@@ -584,3 +584,173 @@ def curation_boilerplate_fraction(
         "n_boiler",
         F.expr("n_boiler * 10000 div n_shingles").alias("boiler_pct_e4"),
     )
+
+
+# --- bloom-filter decontamination -------------------------------------------
+
+BLOOM_M = 8192  #: filter bits; ~1 KB of state whatever the benchmark size
+BLOOM_K = 3  #: hash functions (the md5-affine family minhash/CMS use)
+
+
+def _bloom_sql() -> str:
+    from spark_dns_spark.functions.dnsfn import portable_hash32_sql
+    from spark_dns_spark.operators.dedup import MINHASH_P, _affine_consts
+
+    consts = _affine_consts(BLOOM_K)
+    pos = ", ".join(
+        f"(hg * {a} + {b}) % {MINHASH_P} % {BLOOM_M}" for a, b in consts
+    )
+    return f"""
+WITH marked AS (
+  SELECT doc_id, text, {_BUCKET_SQL} = 0 AS is_bench FROM documents
+), toks AS (
+  SELECT doc_id, is_bench, string_split(text, ' ') AS t FROM marked
+), grams AS (
+  SELECT doc_id, is_bench,
+         unnest(list_distinct({dd.word_shingles_sql("t", SHINGLE_N)})) AS g
+  FROM toks
+), hashed AS (
+  SELECT doc_id, is_bench, g, {portable_hash32_sql("g")} AS hg FROM grams
+), positions AS (
+  SELECT doc_id, is_bench, g, unnest([{pos}]) AS pos FROM hashed
+), bits AS (
+  SELECT DISTINCT pos FROM positions WHERE is_bench
+), bench_grams AS (
+  SELECT DISTINCT g FROM grams WHERE is_bench
+), probe AS (
+  SELECT p.doc_id, p.g,
+         sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_set
+  FROM positions p LEFT JOIN bits b ON p.pos = b.pos
+  WHERE NOT p.is_bench
+  GROUP BY p.doc_id, p.g
+), per_doc AS (
+  SELECT pr.doc_id,
+         count(*)::BIGINT AS n_grams,
+         sum(CASE WHEN pr.n_set = {BLOOM_K} THEN 1 ELSE 0 END)::BIGINT
+           AS n_bloom_hits,
+         sum(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_exact_hits
+  FROM probe pr LEFT JOIN bench_grams bg ON pr.g = bg.g
+  GROUP BY pr.doc_id
+)
+SELECT doc_id, n_grams, n_bloom_hits, n_exact_hits,
+       n_bloom_hits - n_exact_hits AS n_false_pos
+FROM per_doc
+"""
+
+
+@register(
+    "contamination_bloom_filter",
+    _bloom_sql(),
+    doc=f"bloom-filter decontamination: the benchmark gram set is "
+    f"compressed to {BLOOM_M} bits x {BLOOM_K} md5-affine hashes "
+    "(~1 KB of CONSTANT state however large the benchmark grows — the "
+    "scale path when the exact gram set outgrows its broadcast "
+    "envelope), corpus grams probe it map-side (a gram is positive "
+    "iff ALL k bits are set), and the exact gram join runs alongside "
+    "to measure the sketch: n_bloom_hits >= n_exact_hits per doc "
+    "(one-sided error, pytest-pinned) with n_false_pos recording the "
+    "cost of the compression.  Deterministic md5-affine hashing means "
+    "the oracle reproduces every bit",
+    tags=("curation", "contamination", "sketch"),
+)
+def contamination_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_dns_spark.functions.dnsfn import portable_hash32
+    from spark_dns_spark.operators.dedup import MINHASH_P, _affine_consts
+
+    consts = _affine_consts(BLOOM_K)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _BENCH_BUCKETS
+    )
+    toks = docs.select(
+        "doc_id", (bucket == 0).alias("is_bench"), _toks().alias("t")
+    )
+    grams = toks.select(
+        "doc_id",
+        "is_bench",
+        F.explode(
+            F.array_distinct(dd.word_shingles(F.col("t"), SHINGLE_N))
+        ).alias("g"),
+    )
+
+    # Build the filter: distinct bit positions of the bench grams —
+    # <= BLOOM_M rows by construction, collected into the BLOOM_M-bit
+    # word array (the whitelisted constant-size-model-state pattern,
+    # like a Lloyd centroid collect: the SKETCH is the model).  A
+    # production job persists these 1 KB alongside the benchmark and
+    # ships them as literals, exactly as below — the probe is then a
+    # pure MAP, no join, no per-position explode of the corpus.
+    bench_hg = grams.filter("is_bench").select(
+        portable_hash32("g").alias("hg")
+    )
+    bit_rows = (
+        bench_hg.select(
+            F.explode(
+                F.array(
+                    *[
+                        (F.col("hg") * F.lit(a) + F.lit(b))
+                        % F.lit(MINHASH_P)
+                        % F.lit(BLOOM_M)
+                        for a, b in consts
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (BLOOM_M // 64)
+    for r in bit_rows:
+        p = int(r["pos"])
+        words[p // 64] |= 1 << (p % 64)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bmap = "array(" + ",".join(f"{w}L" for w in words) + ")"
+    # (w >> p) & 1 reads bit p regardless of sign extension.
+    bloom_pos = F.expr(
+        f"forall(posarr, p -> ((shiftright(element_at({bmap}, "
+        f"CAST(p DIV 64 AS INT) + 1), CAST(p % 64 AS INT))) & 1) = 1)"
+    )
+
+    # The exact probe runs alongside to measure the sketch; ITS
+    # broadcast envelope (bench grams are MBs vs the corpus) is the
+    # documented contamination_ngram_overlap contract.
+    bench_grams = F.broadcast(
+        grams.filter("is_bench").select("g").distinct()
+        .withColumn("in_bench", F.lit(1))
+    )
+    corpus = grams.filter(~F.col("is_bench")).select(
+        "doc_id",
+        "g",
+        F.array(
+            *[
+                (portable_hash32("g") * F.lit(a) + F.lit(b))
+                % F.lit(MINHASH_P)
+                % F.lit(BLOOM_M)
+                for a, b in consts
+            ]
+        ).alias("posarr"),
+    )
+    per_doc = (
+        corpus.withColumn("bloom_hit", bloom_pos)
+        .join(bench_grams, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0)).alias(
+                "n_bloom_hits"
+            ),
+            F.sum(F.coalesce(F.col("in_bench"), F.lit(0))).alias(
+                "n_exact_hits"
+            ),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_bloom_hits",
+        "n_exact_hits",
+        (F.col("n_bloom_hits") - F.col("n_exact_hits")).alias("n_false_pos"),
+    )

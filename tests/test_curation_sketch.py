@@ -87,3 +87,20 @@ def test_boilerplate_fraction_full_doc(spark, tmp_path):
     }
     assert all(out[d]["boiler_pct_e4"] == 10000 for d in (1, 2, 3))
     assert out[9]["boiler_pct_e4"] == 0
+
+
+def test_bloom_one_sided_error(spark):
+    """Bloom membership NEVER misses a true bench gram (every bit of a
+    bench gram is set by construction), so n_bloom_hits >= n_exact_hits
+    per doc; false positives are the bounded cost of the 1 KB state."""
+    from spark_dns_spark.plans.q_curation import contamination_bloom_filter
+
+    rows = contamination_bloom_filter(spark, SF_SMALL).collect()
+    assert rows, "corpus produced no probe docs"
+    assert all(r["n_false_pos"] >= 0 for r in rows)
+    assert all(
+        r["n_bloom_hits"] == r["n_exact_hits"] + r["n_false_pos"]
+        for r in rows
+    )
+    # the exact side is a subset of the corpus gram count
+    assert all(r["n_exact_hits"] <= r["n_grams"] for r in rows)

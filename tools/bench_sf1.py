@@ -55,6 +55,8 @@ QUERIES = [
     # NOT here — make_sf1 scales documents/embeddings/events only)
     "curation_boilerplate_fraction",
     "sketch_countmin_freq",
+    "contamination_bloom_filter",
+    "dedup_url_canonical",
 ]
 
 #: the full heavy-tier ORACLE list for the sf1 cross-engine gate
@@ -88,6 +90,7 @@ ORACLE_QUERIES = [
     "similarity_pq_drift", "similarity_pq_upsert_stream",
     "index_postings_upsert", "dedup_minhash_stream",
     "curation_boilerplate_fraction", "sketch_countmin_freq",
+    "contamination_bloom_filter", "dedup_url_canonical",
 ]
 
 
