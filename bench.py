@@ -117,11 +117,12 @@ HEADLINE = [
     "similarity_pq_drift",
     "similarity_ivfpq_recall",
     "index_postings_upsert",
-    # round-9 continuation-2 tier (67 -> 78): the TPC-H breadth pack II
+    # round-9 continuation-2 tier (67 -> 80): the TPC-H breadth pack II
     # (integer-e4 revenue convention), the count-min sketch, the
-    # CCNet-style boilerplate fraction, URL-canonicalization dedup,
-    # and the bloom-filter decontamination sketch (prefix comparisons
-    # vs prior rounds use the 27/.../62/67 boundaries)
+    # CCNet-style boilerplate detect + clean pair, URL-canonicalization
+    # dedup, the bloom-filter decontamination sketch, and the langid
+    # confusion-matrix metric (prefix comparisons vs prior rounds use
+    # the 27/.../62/67 boundaries)
     "tpch_q5_local_supplier_volume",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
@@ -133,6 +134,8 @@ HEADLINE = [
     "curation_boilerplate_fraction",
     "dedup_url_canonical",
     "contamination_bloom_filter",
+    "curation_boilerplate_clean",
+    "text_langid_confusion",
 ]
 
 

@@ -485,6 +485,18 @@ _ROTATION_R9: dict[str, int] = {
     # coefficient + triangles are green r7-r9 untouched, benched, and
     # share the LSH pair-graph lineage pytest pins.
     "graph_clustering_coefficient": 6,
+    # rotate OUT (making room for curation_boilerplate_clean, NEW —
+    # the detect→rewrite apply side): ivm_agg_delta is green r6-r9
+    # untouched; the IVM family stays full-gate + pytest-pinned
+    # (test_relational_breadth), and the incremental-view shape keeps
+    # index_postings_upsert + the upsert family in-window.
+    "ivm_agg_delta": 6,
+    # rotate OUT (making room for text_langid_confusion, NEW — the
+    # classifier's confusion-matrix metric): index_postings_upsert
+    # COMPOSES the inverted-index build against the stored postings
+    # every run, so the build shape stays in-window through it;
+    # index_inverted_postings remains benched + full-gate.
+    "index_inverted_postings": 6,
 }
 
 

@@ -788,3 +788,120 @@ def contamination_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact_hits",
         (F.col("n_bloom_hits") - F.col("n_exact_hits")).alias("n_false_pos"),
     )
+
+
+def _boiler_clean_sql() -> str:
+    from spark_dns_spark.functions.dnsfn import portable_hash32_sql
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+), hs AS (
+  SELECT doc_id, source, t,
+         list_transform({dd.word_shingles_sql("t", BOILER_N)},
+                        s -> {portable_hash32_sql("s")}) AS ha
+  FROM toks
+), dist AS (
+  SELECT doc_id, source, unnest(list_distinct(ha)) AS h FROM hs
+), dfreq AS (
+  SELECT source, h, count(*)::BIGINT AS df FROM dist GROUP BY source, h
+), boiler AS (
+  SELECT source, h FROM dfreq WHERE df >= {BOILER_MIN_DOCS}
+), pos AS (
+  SELECT doc_id, source, u.i AS sp, u.h AS h FROM (
+    SELECT doc_id, source,
+           unnest(list_transform(generate_series(1, len(ha)),
+                                 i -> {{'i': i, 'h': ha[i]}})) AS u
+    FROM hs
+  )
+), starts AS (
+  SELECT p.doc_id, p.sp FROM pos p JOIN boiler b USING (source, h)
+), covered AS (
+  SELECT DISTINCT doc_id, sp + o AS wp
+  FROM starts, (SELECT unnest(generate_series(0, {BOILER_N - 1})) AS o)
+), cov AS (
+  SELECT doc_id, list(wp) AS cov FROM covered GROUP BY doc_id
+), clean AS (
+  SELECT t.doc_id,
+         list_filter(
+           list_transform(generate_series(1, len(t.t)),
+             p -> CASE WHEN c.cov IS NOT NULL AND list_contains(c.cov, p)
+                       THEN NULL ELSE t.t[p] END),
+           x -> x IS NOT NULL) AS kept,
+         len(t.t)::BIGINT AS n_words
+  FROM toks t LEFT JOIN cov c USING (doc_id)
+)
+SELECT doc_id, n_words, len(kept)::BIGINT AS n_kept,
+       md5(array_to_string(kept, ' ')) AS clean_digest
+FROM clean
+"""
+
+
+@register(
+    "curation_boilerplate_clean",
+    _boiler_clean_sql(),
+    doc=f"the APPLY side of boilerplate detection (the detect→rewrite "
+    "pair, like dedup_exact_substring→dedup_substring_clean): every "
+    f"occurrence of a per-source repeated {BOILER_N}-gram is a covered "
+    f"word span [i, i+{BOILER_N - 1}], the union of covered positions "
+    "is dropped, and the doc is re-emitted as its cleaned text "
+    "(digest + kept-count — the hash proves byte-exact reconstruction "
+    "across engines without shipping text through the compare).  The "
+    "frequency side shuffles only (source, hash32) keys; the text "
+    "rides exactly ONE doc_id-keyed join into the per-doc "
+    "reconstruction — unavoidable for a rewrite operator whose OUTPUT "
+    "is the text",
+    tags=("curation", "text"),
+)
+def curation_boilerplate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_dns_spark.functions.dnsfn import portable_hash32
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("t")
+    )
+    hs = toks.select(
+        "doc_id",
+        "source",
+        "t",
+        F.transform(
+            dd.word_shingles("t", BOILER_N), portable_hash32
+        ).alias("ha"),
+    )
+    dist = hs.select(
+        "doc_id", "source", F.explode(F.array_distinct("ha")).alias("h")
+    )
+    boiler = (
+        dist.groupBy("source", "h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= BOILER_MIN_DOCS)
+        .select("source", "h")
+    )
+    pos = hs.select(
+        "doc_id", "source", F.posexplode("ha").alias("i0", "h")
+    ).select("doc_id", "source", (F.col("i0") + 1).alias("sp"), "h")
+    starts = pos.join(boiler, ["source", "h"]).select("doc_id", "sp")
+    covered = (
+        starts.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("sp"), F.col("sp") + (BOILER_N - 1))
+            ).alias("wp"),
+        )
+        .distinct()
+    )
+    cov = covered.groupBy("doc_id").agg(F.collect_list("wp").alias("cov"))
+    clean = toks.join(cov, "doc_id", "left").select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_words"),
+        F.expr(
+            "filter(transform(sequence(1, size(t)), "
+            "p -> CASE WHEN cov IS NOT NULL AND array_contains(cov, p) "
+            "THEN NULL ELSE element_at(t, p) END), x -> x IS NOT NULL)"
+        ).alias("kept"),
+    )
+    return clean.select(
+        "doc_id",
+        "n_words",
+        F.size("kept").cast("long").alias("n_kept"),
+        F.md5(F.array_join("kept", " ")).alias("clean_digest"),
+    )

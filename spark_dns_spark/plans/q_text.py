@@ -325,3 +325,71 @@ def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor((F.sum("n_words") / F.count("*")) * 100 + F.lit(0.5)) / 100)
         .alias("avg_words"),
     )
+
+
+@register(
+    "text_langid_confusion",
+    f"""
+WITH hits AS (
+  SELECT doc_id, lang,
+         {_marker_hits_sql("string_split(text, ' ')", LANG_MARKERS["en"])} AS en_hits,
+         {_marker_hits_sql("string_split(text, ' ')", LANG_MARKERS["de"])} AS de_hits,
+         {_marker_hits_sql("string_split(text, ' ')", LANG_MARKERS["es"])} AS es_hits,
+         {_marker_hits_sql("string_split(text, ' ')", LANG_MARKERS["fr"])} AS fr_hits
+  FROM documents
+), pred AS (
+  SELECT lang, {_LANG_CASE_SQL} AS predicted FROM hits
+), cells AS (
+  SELECT lang, predicted, count(*)::BIGINT AS n_docs
+  FROM pred GROUP BY lang, predicted
+), totals AS (
+  SELECT lang, sum(n_docs)::BIGINT AS label_total FROM cells GROUP BY lang
+)
+SELECT c.lang, c.predicted, c.n_docs, t.label_total,
+       c.n_docs * 10000 // t.label_total AS row_pct_e4
+FROM cells c JOIN totals t ON c.lang = t.lang
+""",
+    doc="language-ID EVALUATION: the confusion matrix of the marker "
+    "heuristic against the lang metadata labels — per (label, "
+    "predicted) cell counts plus the per-label recall share (integer "
+    "e4, floor-div).  The classifier family's accountability metric, "
+    "the same self-measuring pattern as the ANN recall gates: the "
+    "operator ships WITH the query that scores it.  Two aggregations "
+    "whose input collapses to <=25 label-pairs after the first "
+    "(map-side combine does the real work); the second join is on a "
+    "handful of rows",
+    tags=("text", "metric"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    hits = docs.select(
+        "lang",
+        *[
+            _marker_hits(toks, LANG_MARKERS[lang]).alias(f"{lang}_hits")
+            for lang in ("en", "de", "es", "fr")
+        ],
+    )
+    en, de, es, fr = [F.col(f"{lang}_hits") for lang in ("en", "de", "es", "fr")]
+    predicted = (
+        F.when((en == 0) & (de == 0) & (es == 0) & (fr == 0), F.lit("und"))
+        .when((en >= de) & (en >= es) & (en >= fr), F.lit("en"))
+        .when((de >= es) & (de >= fr), F.lit("de"))
+        .when(es >= fr, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    cells = (
+        hits.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    totals = cells.groupBy("lang").agg(
+        F.sum("n_docs").alias("label_total")
+    )
+    return cells.join(totals, "lang").select(
+        "lang",
+        "predicted",
+        "n_docs",
+        "label_total",
+        F.expr("n_docs * 10000 div label_total").alias("row_pct_e4"),
+    )

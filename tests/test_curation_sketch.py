@@ -104,3 +104,38 @@ def test_bloom_one_sided_error(spark):
     )
     # the exact side is a subset of the corpus gram count
     assert all(r["n_exact_hits"] <= r["n_grams"] for r in rows)
+
+
+def test_boilerplate_clean_removes_exact_spans(spark, tmp_path):
+    """The apply side drops EXACTLY the covered 4-word spans: docs
+    sharing the phrase lose those 4 words (every occurrence), clean
+    docs are byte-identical to their input."""
+    import hashlib
+
+    from spark_dns_spark.plans.q_curation import curation_boilerplate_clean
+
+    phrase = "all rights strictly reserved"
+    docs = [
+        (1, f"{phrase} alpha beta gamma delta", "srcA"),
+        (2, f"{phrase} epsilon zeta eta theta", "srcA"),
+        (3, f"{phrase} iota kappa lam mu", "srcA"),
+        (4, "nu xi omicron pi rho sigma tau", "srcA"),
+        (5, f"{phrase} upsilon phi chi psi", "srcB"),  # 1 dup in srcB only
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in curation_boilerplate_clean(spark, str(tmp_path)).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    # docs 1-3: the 4 phrase words drop, the unique tail survives
+    assert out[1]["n_kept"] == 4
+    assert out[1]["clean_digest"] == md5("alpha beta gamma delta")
+    assert out[3]["clean_digest"] == md5("iota kappa lam mu")
+    # doc 4 (never boilerplate) and doc 5 (phrase unique in srcB): intact
+    assert out[4]["n_kept"] == out[4]["n_words"] == 7
+    assert out[4]["clean_digest"] == md5("nu xi omicron pi rho sigma tau")
+    assert out[5]["n_kept"] == out[5]["n_words"] == 8

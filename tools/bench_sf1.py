@@ -57,6 +57,8 @@ QUERIES = [
     "sketch_countmin_freq",
     "contamination_bloom_filter",
     "dedup_url_canonical",
+    "curation_boilerplate_clean",
+    "text_langid_confusion",
 ]
 
 #: the full heavy-tier ORACLE list for the sf1 cross-engine gate
@@ -91,6 +93,7 @@ ORACLE_QUERIES = [
     "index_postings_upsert", "dedup_minhash_stream",
     "curation_boilerplate_fraction", "sketch_countmin_freq",
     "contamination_bloom_filter", "dedup_url_canonical",
+    "curation_boilerplate_clean", "text_langid_confusion",
 ]
 
 
