@@ -859,6 +859,11 @@ def curation_boilerplate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.split("text", " ").alias("t")
     )
+    # persist at the fan-out: the tokenize→shingle→md5 pipeline is an
+    # interpreted HOF chain that projection-collapse would duplicate
+    # into all three consumers below (dist / pos / the final rebuild)
+    # — the q_dedup._signatures_of lesson.  Released by the consuming
+    # harness / the next catalog entry's release_all_caches.
     hs = toks.select(
         "doc_id",
         "source",
@@ -866,7 +871,7 @@ def curation_boilerplate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             dd.word_shingles("t", BOILER_N), portable_hash32
         ).alias("ha"),
-    )
+    ).persist()
     dist = hs.select(
         "doc_id", "source", F.explode(F.array_distinct("ha")).alias("h")
     )
@@ -890,7 +895,7 @@ def curation_boilerplate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     cov = covered.groupBy("doc_id").agg(F.collect_list("wp").alias("cov"))
-    clean = toks.join(cov, "doc_id", "left").select(
+    clean = hs.select("doc_id", "t").join(cov, "doc_id", "left").select(
         "doc_id",
         F.size("t").cast("long").alias("n_words"),
         F.expr(
