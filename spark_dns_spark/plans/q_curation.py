@@ -556,6 +556,10 @@ def curation_boilerplate_fraction(
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.split("text", " ").alias("t")
     )
+    # persist at the fan-out: sh feeds BOTH the doc-frequency aggregate
+    # and the join-back — without the cache the interpreted
+    # shingle-hash pipeline runs twice (the q_dedup._signatures_of
+    # lesson; released by the standard cache-lifetime discipline).
     sh = docs.select(
         "doc_id",
         "source",
@@ -566,7 +570,7 @@ def curation_boilerplate_fraction(
                 )
             )
         ).alias("h"),
-    )
+    ).persist()
     dfreq = sh.groupBy("source", "h").agg(F.count(F.lit(1)).alias("df"))
     per = (
         sh.join(dfreq, ["source", "h"])
