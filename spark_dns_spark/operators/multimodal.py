@@ -220,3 +220,66 @@ def resize_nn(
             )
 
     return df.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)
+
+
+#: Perceptual-hash geometry: 64 byte samples -> 64 hash bits, split
+#: into PHASH_BANDS bands of PHASH_BAND_BITS bits for LSH banding.
+PHASH_BITS = 64
+PHASH_BANDS = 4
+PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS
+
+#: Output schema of the average-hash kernel.
+PHASH_SCHEMA = "doc_id long, " + ", ".join(
+    f"b{k} long" for k in range(PHASH_BANDS)
+)
+
+
+def avg_hash_bands(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Average-hash (aHash) a binary payload via ``mapInPandas``: 64
+    bytes sampled at positions ``(i * n) // 64``, each bit set iff its
+    sample >= the floor-mean of the samples, emitted as PHASH_BANDS
+    16-bit band integers (LSH-ready, the simhash banding shape).
+
+    This is the perceptual-dedup front half a real image pipeline runs
+    after decode (aHash/pHash over downsampled luma); here the
+    "raster" is the payload's raw bytes — same deterministic-fake
+    convention as :func:`decode_features`, so the whole near-dup
+    algebra has an exact octet-level SQL oracle while a real decoder
+    would swap into this batch iterator.  Empty payloads are dropped
+    (no raster, no hash).
+    """
+
+    def _hash_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, bands = [], [[] for _ in range(PHASH_BANDS)]
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                n = len(payload)
+                if n == 0:
+                    continue
+                samples = [
+                    payload[(i * n) // PHASH_BITS]
+                    for i in range(PHASH_BITS)
+                ]
+                mean = sum(samples) // PHASH_BITS
+                ids.append(doc_id)
+                for k in range(PHASH_BANDS):
+                    v = 0
+                    for j in range(PHASH_BAND_BITS):
+                        if samples[k * PHASH_BAND_BITS + j] >= mean:
+                            v |= 1 << j
+                    bands[k].append(v)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    **{
+                        f"b{k}": pd.Series(bands[k], dtype="int64")
+                        for k in range(PHASH_BANDS)
+                    },
+                }
+            )
+
+    return df.mapInPandas(_hash_batches, schema=PHASH_SCHEMA)

@@ -497,6 +497,12 @@ _ROTATION_R9: dict[str, int] = {
     # every run, so the build shape stays in-window through it;
     # index_inverted_postings remains benched + full-gate.
     "index_inverted_postings": 6,
+    # rotate OUT (making room for multimodal_phash_neardup, NEW — the
+    # perceptual near-dup over binary payloads): the multimodal family
+    # swaps its window rep to the new flagship; resize_nn is green
+    # r8-r9 untouched, benched, and its raster arithmetic stays
+    # pytest-pinned (test_multimodal).
+    "multimodal_resize_nn": 6,
 }
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_dns_spark.operators import dedup as dd
 from spark_dns_spark.operators import multimodal as mm
 from spark_dns_spark.operators import similarity as sim
 from spark_dns_spark.plans.catalog import register
@@ -210,3 +211,90 @@ def multimodal_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", mm.payload_from_text("text").alias("payload")
     )
     return mm.resize_nn(images)
+
+
+HAM_T = 10  #: near-dup verification threshold (of 64 hash bits)
+
+
+def _phash_sql() -> str:
+    bits = mm.PHASH_BITS
+    bb = mm.PHASH_BAND_BITS
+    band = lambda k: (  # noqa: E731
+        "list_sum(list_transform(generate_series(0,{bb1}), j -> "
+        "CASE WHEN sm[{off}+j+1] >= mean THEN (1::BIGINT << j) "
+        "ELSE 0 END))".format(bb1=bb - 1, off=k * bb)
+    )
+    bands = ",\n    ".join(f"{band(k)} AS b{k}" for k in range(mm.PHASH_BANDS))
+    ham = " + ".join(
+        f"bit_count(xor(a.b{k}, c.b{k}))" for k in range(mm.PHASH_BANDS)
+    )
+    cand_or = " OR ".join(f"a.b{k} = c.b{k}" for k in range(mm.PHASH_BANDS))
+    return f"""
+WITH d AS (
+  SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n
+  FROM documents WHERE strlen(text) > 0
+), s AS (
+  SELECT doc_id, list_transform(generate_series(0, {bits - 1}),
+    i -> CAST('0x' || substr(hx, ((i*n)//{bits})*2 + 1, 2) AS INT)) AS sm
+  FROM d
+), m AS (
+  SELECT doc_id, sm, list_sum(sm) // {bits} AS mean FROM s
+), b AS (
+  SELECT doc_id,
+    {bands}
+  FROM m
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM b a JOIN b c ON a.doc_id < c.doc_id AND ({cand_or})
+)
+SELECT id_a, id_b, {ham} AS hamming
+FROM cand JOIN b a ON a.doc_id = id_a JOIN b c ON c.doc_id = id_b
+WHERE {ham} <= {HAM_T}
+"""
+
+
+@register(
+    "multimodal_phash_neardup",
+    _phash_sql(),
+    doc=f"perceptual-hash near-dup for binary payloads — the "
+    "image-dedup front half (aHash: 64 sampled bytes thresholded at "
+    "their floor-mean) computed inside the Arrow mapInPandas decoder "
+    f"(payload bytes never leave the kernel), then {mm.PHASH_BANDS}x"
+    f"{mm.PHASH_BAND_BITS}-bit LSH banding (the simhash shape) and a "
+    f"hamming <= {HAM_T} verification over ONLY the band-bucket "
+    "candidates — never all pairs.  The shuffle carries (doc_id, four "
+    "16-bit ints): a 100 TB image corpus dedups on 32 bytes/item of "
+    "hash state.  Deterministic byte arithmetic = exact octet-level "
+    "oracle; a real decoder swaps into the same kernel (the "
+    "decode_features seam)",
+    tags=("multimodal", "dedup", "pandas-udf"),
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    blobs = docs.select(
+        "doc_id", mm.payload_from_text("text").alias("payload")
+    )
+    sig = mm.avg_hash_bands(blobs).withColumnsRenamed(
+        {f"b{k}": f"band{k}" for k in range(mm.PHASH_BANDS)}
+    )
+    cand = dd.lsh_candidates(sig, "doc_id", mm.PHASH_BANDS)
+    a = sig.withColumnsRenamed(
+        {"doc_id": "id_a", **{f"band{k}": f"a{k}" for k in range(mm.PHASH_BANDS)}}
+    )
+    c = sig.withColumnsRenamed(
+        {"doc_id": "id_b", **{f"band{k}": f"c{k}" for k in range(mm.PHASH_BANDS)}}
+    )
+    ham = F.expr(
+        " + ".join(
+            f"bit_count(a{k} ^ c{k})" for k in range(mm.PHASH_BANDS)
+        )
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(c, "id_b")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= HAM_T)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -139,3 +139,27 @@ def test_boilerplate_clean_removes_exact_spans(spark, tmp_path):
     assert out[4]["n_kept"] == out[4]["n_words"] == 7
     assert out[4]["clean_digest"] == md5("nu xi omicron pi rho sigma tau")
     assert out[5]["n_kept"] == out[5]["n_words"] == 8
+
+
+def test_phash_exact_dup_is_hamming_zero(spark, tmp_path):
+    """Byte-identical payloads hash identically (hamming 0) and the
+    banding NEVER misses them; a very different payload stays out."""
+    from spark_dns_spark.plans.q_multimodal import (
+        HAM_T,
+        multimodal_phash_neardup,
+    )
+
+    same = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, same, "srcA"),
+        (2, same, "srcA"),  # exact dup of 1
+        (9, "ZZZZ 9999 !!!! @@@@ #### $$$$ %%%% ^^^^ &&&& ****", "srcA"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = multimodal_phash_neardup(spark, str(tmp_path)).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    assert pairs[(1, 2)] == 0
+    assert all(h <= HAM_T for h in pairs.values())

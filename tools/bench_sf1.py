@@ -59,6 +59,7 @@ QUERIES = [
     "dedup_url_canonical",
     "curation_boilerplate_clean",
     "text_langid_confusion",
+    "multimodal_phash_neardup",
 ]
 
 #: the full heavy-tier ORACLE list for the sf1 cross-engine gate
@@ -94,6 +95,7 @@ ORACLE_QUERIES = [
     "curation_boilerplate_fraction", "sketch_countmin_freq",
     "contamination_bloom_filter", "dedup_url_canonical",
     "curation_boilerplate_clean", "text_langid_confusion",
+    "multimodal_phash_neardup",
 ]
 
 
