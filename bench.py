@@ -117,7 +117,7 @@ HEADLINE = [
     "similarity_pq_drift",
     "similarity_ivfpq_recall",
     "index_postings_upsert",
-    # round-9 continuation-2 tier (67 -> 81): the TPC-H breadth pack II
+    # round-9 continuation-2 tier (67 -> 82): the TPC-H breadth pack II
     # (integer-e4 revenue convention), the count-min sketch, the
     # CCNet-style boilerplate detect + clean pair, URL-canonicalization
     # dedup, the bloom-filter decontamination sketch, and the langid
@@ -137,6 +137,7 @@ HEADLINE = [
     "curation_boilerplate_clean",
     "text_langid_confusion",
     "multimodal_phash_neardup",
+    "similarity_range_ivf",
 ]
 
 

@@ -503,6 +503,11 @@ _ROTATION_R9: dict[str, int] = {
     # r8-r9 untouched, benched, and its raster arithmetic stays
     # pytest-pinned (test_multimodal).
     "multimodal_resize_nn": 6,
+    # rotate OUT (making room for similarity_range_ivf, NEW — the
+    # IVF-served radius search): dns_ip_cidr_attribution is green
+    # r7-r9 untouched and benched; the connector core (rows 1-3) and
+    # the read-pushdown query keep the DNS tier represented in-window.
+    "dns_ip_cidr_attribution": 6,
 }
 
 

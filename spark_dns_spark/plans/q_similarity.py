@@ -690,3 +690,85 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hits") * F.lit(10000 // K)).alias("recall_e4"),
         )
     )
+
+
+# --- IVF-served range (radius) search ---------------------------------------
+
+#: Radius for the range search, in the squared integer-L2 domain
+#: (SCALE=1000 quantization): ~the densest 0.1% of all pairs at
+#: sf0.01 — the "near-duplicate" band of this embedding space.
+RANGE_R2 = 1_250_000
+
+_RANGE_SQL = (
+    _IVF_CTE
+    + f"""
+, probes AS (
+  SELECT vec_id, cell FROM (
+    SELECT q.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {km.dist_sql("q.qv", "c.cv")} ASC, c.cell) AS rn
+    FROM q, {_IVF_CENTS_CTE} c
+  ) WHERE rn <= {NPROBE}
+), cand AS (
+  SELECT DISTINCT least(p.vec_id, a.vec_id) AS id_a,
+                  greatest(p.vec_id, a.vec_id) AS id_b
+  FROM probes p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+)
+SELECT id_a, id_b, {km.dist_sql("qa.qv", "qb.qv")} AS d2
+FROM cand
+JOIN q qa ON qa.vec_id = id_a
+JOIN q qb ON qb.vec_id = id_b
+WHERE {km.dist_sql("qa.qv", "qb.qv")} <= {RANGE_R2}
+"""
+)
+
+
+@register(
+    "similarity_range_ivf",
+    _RANGE_SQL,
+    doc=f"IVF-served RANGE search (radius dedup): every vector is a "
+    "query, its {np}/{kc} nearest stored cells are probed, and only "
+    "co-probed candidates are distance-checked against the integer "
+    f"radius R2={RANGE_R2} — the scale path for embedding near-dup "
+    "(dedup_embedding_cosine is the brute/LSH formulation; THIS is "
+    "what a 100 TB corpus runs: candidates come from the persisted "
+    "cell-partitioned index, pair cost is sum of squared cell sizes "
+    "probed, never |C|^2).  Serving reads the stored index "
+    "(ivf_index_path — no per-invocation retrain); the oracle mirrors "
+    "the identical index algebra so every emitted pair and distance "
+    "is cross-engine exact".format(np=NPROBE, kc=IVF_KC),
+    tags=("similarity", "ivf", "dedup"),
+)
+def similarity_range_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _vectors(spark, sf_dir)
+    root = ivf_index_path(spark, sf_dir)
+    crows = spark.read.parquet(f"{root}/cents").orderBy("cell").collect()
+    cents = [[int(x) for x in r["cv"]] for r in crows]
+    if not cents:
+        return spark.createDataFrame([], "id_a bigint, id_b bigint, d2 bigint")
+    q = km.quantize(n.select("vec_id", "v"))
+    asg = spark.read.parquet(f"{root}/asg").withColumnRenamed("vec_id", "nb")
+    probes = _nearest_cells(q, cents, NPROBE)
+    cand = (
+        probes.join(asg, "cell")
+        .filter(F.col("vec_id") != F.col("nb"))
+        .select(
+            F.least("vec_id", "nb").alias("id_a"),
+            F.greatest("vec_id", "nb").alias("id_b"),
+        )
+        .distinct()
+    )
+    qa = q.select(F.col("vec_id").alias("id_a"), km._qarr().alias("qa"))
+    qb = q.select(F.col("vec_id").alias("id_b"), km._qarr().alias("qb"))
+    d2 = F.expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, e) -> acc + e)"
+    )
+    return (
+        cand.join(qa, "id_a")
+        .join(qb, "id_b")
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= RANGE_R2)
+        .select("id_a", "id_b", "d2")
+    )
