@@ -508,6 +508,12 @@ _ROTATION_R9: dict[str, int] = {
     # r7-r9 untouched and benched; the connector core (rows 1-3) and
     # the read-pushdown query keep the DNS tier represented in-window.
     "dns_ip_cidr_attribution": 6,
+    # rotate OUT (making room for sketch_countmin_stream, NEW — sketch
+    # mergeability as a streaming stage): the temporal-join family
+    # keeps asof_join_last_error in-window; the bucketed range join is
+    # green r5-r9 untouched and stays pytest-pinned
+    # (test_bucketed_join) + full-gate + benched.
+    "range_join_bucketed": 6,
 }
 
 

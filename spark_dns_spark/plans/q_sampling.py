@@ -334,30 +334,47 @@ SELECT w, exact_n, est_n, est_n - exact_n AS overcount FROM est
     tags=("sketch", "agg"),
 )
 def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spark_dns_spark.functions.dnsfn import portable_hash32
-    from spark_dns_spark.operators.dedup import MINHASH_P, _affine_consts
-    from pyspark.sql import Window
-
-    consts = _affine_consts(CMS_D)
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    return _cms_probe(_cms_cells(toks), toks)
+
+
+def _cms_buckets() -> F.Column:
+    """The CMS_D cell coordinates of the hash column ``h`` as an array
+    (posexplode to (k, bucket))."""
+    from spark_dns_spark.operators.dedup import MINHASH_P, _affine_consts
+
+    return F.array(
+        *[
+            (F.col("h") * F.lit(a) + F.lit(b))
+            % F.lit(MINHASH_P)
+            % F.lit(CMS_W)
+            for (a, b) in _affine_consts(CMS_D)
+        ]
+    )
+
+
+def _cms_cells(toks: DataFrame) -> DataFrame:
+    """One pass token stream -> (k, bucket, cnt) sketch cells.  Cells
+    are ADDITIVE: sketches of disjoint corpus slices merge by cell-wise
+    sum — the property the streaming variant proves by oracle."""
+    from spark_dns_spark.functions.dnsfn import portable_hash32
+
     hs = toks.select(portable_hash32("w").alias("h"))
-    cells = (
-        hs.select(
-            F.posexplode(
-                F.array(
-                    *[
-                        (F.col("h") * F.lit(a) + F.lit(b))
-                        % F.lit(MINHASH_P)
-                        % F.lit(CMS_W)
-                        for (a, b) in consts
-                    ]
-                )
-            ).alias("k", "bucket")
-        )
+    return (
+        hs.select(F.posexplode(_cms_buckets()).alias("k", "bucket"))
         .groupBy("k", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def _cms_probe(cells: DataFrame, toks: DataFrame) -> DataFrame:
+    """Probe the exact top-K terms against a (k, bucket, cnt) sketch:
+    est = min over rows of the term's cell."""
+    from pyspark.sql import Window
+
+    from spark_dns_spark.functions.dnsfn import portable_hash32
+
     exact = toks.groupBy("w").agg(F.count(F.lit(1)).alias("exact_n"))
     rk = Window.orderBy(F.desc("exact_n"), F.asc("w"))
     probe = (
@@ -365,20 +382,8 @@ def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= CMS_PROBE_K)
         .select("w", "exact_n", portable_hash32("w").alias("h"))
     )
-    # the term's CMS_D cell coordinates, exploded to (k, bucket) rows
     pcells = probe.select(
-        "w",
-        "exact_n",
-        F.posexplode(
-            F.array(
-                *[
-                    (F.col("h") * F.lit(a) + F.lit(b))
-                    % F.lit(MINHASH_P)
-                    % F.lit(CMS_W)
-                    for (a, b) in consts
-                ]
-            )
-        ).alias("k", "bucket"),
+        "w", "exact_n", F.posexplode(_cms_buckets()).alias("k", "bucket")
     )
     # cells is bounded by d*w (a constant), so the broadcast hint is
     # legitimate at ANY corpus size — unlike corpus-derived dims.
@@ -393,3 +398,83 @@ def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_n") - F.col("exact_n")).alias("overcount"),
         )
     )
+
+
+@register(
+    "sketch_countmin_stream",
+    _cms_sql(),
+    doc=f"count-min MERGEABILITY as a streaming stage: the corpus "
+    "arrives as two micro-batches (file stream, maxFilesPerTrigger=1), "
+    "each batch builds ITS OWN d x w sketch and lands it in a "
+    "per-batch-id overwrite dir (idempotent under foreachBatch "
+    "retries), and the serving sketch is the CELL-WISE SUM of the "
+    "batch sketches.  The oracle is the one-pass batch CMS SQL: "
+    "cross-engine hash equality PROVES merged == batch-built, the "
+    "additivity that lets a 100 TB pipeline maintain term-frequency "
+    "state at d*w integers per partition/day and merge at read time",
+    tags=("sketch", "streaming", "incremental"),
+)
+def sketch_countmin_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from spark_dns_spark.plans.feeds import (  # noqa: PLC0415
+        await_or_fail,
+        scratch_dir,
+    )
+
+    root = scratch_dir("cms_stream_")
+    src_dir = os.path.join(root, "src")
+    os.makedirs(src_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for i, half in enumerate(
+        (docs.filter(F.col("doc_id") % 2 == 0),
+         docs.filter(F.col("doc_id") % 2 == 1))
+    ):
+        part_dir = os.path.join(root, f"half{i}")
+        half.coalesce(1).write.parquet(part_dir)
+        (part,) = [
+            f for f in os.listdir(part_dir) if f.endswith(".parquet")
+        ]
+        dst = os.path.join(src_dir, f"{i:02d}_batch.parquet")
+        shutil.copy(os.path.join(part_dir, part), dst)
+        mt = os.stat(dst).st_mtime
+        os.utime(dst, (mt - 10 * (1 - i), mt - 10 * (1 - i)))
+
+    acc = os.path.join(root, "cells")
+
+    def process(batch_docs: DataFrame, batch_id: int) -> None:
+        toks_b = batch_docs.select(
+            F.explode(F.split("text", " ")).alias("w")
+        )
+        _cms_cells(toks_b).write.mode("overwrite").parquet(
+            os.path.join(acc, f"b{batch_id}")
+        )
+
+    physical = spark.read.parquet(src_dir).schema
+    q = (
+        spark.readStream.schema(physical)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(root, ".ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_fail(q, 300)
+    batch_dirs = [
+        os.path.join(acc, d)
+        for d in sorted(os.listdir(acc))
+        if d.startswith("b")
+    ] if os.path.isdir(acc) else []
+    if not batch_dirs:
+        return spark.createDataFrame(
+            [], "w string, exact_n bigint, est_n bigint, overcount bigint"
+        )
+    merged = (
+        spark.read.parquet(*batch_dirs)
+        .groupBy("k", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    toks = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    return _cms_probe(merged, toks)

@@ -62,6 +62,7 @@ SKIP = {
     "stream_attribution_join",
     "similarity_pq_upsert_stream",
     "dedup_minhash_stream",
+    "sketch_countmin_stream",
 }
 
 

@@ -21,6 +21,7 @@ SKIP = {
     "stream_attribution_join",
     "similarity_pq_upsert_stream",
     "dedup_minhash_stream",
+    "sketch_countmin_stream",
 }
 
 #: Documented deliberate small-broadcast nested loops.
