@@ -138,6 +138,7 @@ HEADLINE = [
     "text_langid_confusion",
     "multimodal_phash_neardup",
     "similarity_range_ivf",
+    "similarity_range_recall",
 ]
 
 

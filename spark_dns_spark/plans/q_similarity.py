@@ -741,6 +741,13 @@ WHERE {km.dist_sql("qa.qv", "qb.qv")} <= {RANGE_R2}
     tags=("similarity", "ivf", "dedup"),
 )
 def similarity_range_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _range_pairs(spark, sf_dir)
+
+
+def _range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The range serve as an unwrapped builder (the recall metric
+    composes it without re-entering the catalog wrapper, which would
+    release the outer query's caches — the _ivf_topk precedent)."""
     n = _vectors(spark, sf_dir)
     root = ivf_index_path(spark, sf_dir)
     crows = spark.read.parquet(f"{root}/cents").orderBy("cell").collect()
@@ -771,4 +778,101 @@ def similarity_range_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("d2", d2)
         .filter(F.col("d2") <= RANGE_R2)
         .select("id_a", "id_b", "d2")
+    )
+
+
+_RANGE_TRUTH_SQL = (
+    _BASE_CTE
+    + f"""
+, q AS (
+  SELECT vec_id, [{km.Q_COLS_SQL}] AS qv FROM e
+), truth AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM q a JOIN q b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id % {QMOD} = 0
+    AND {km.dist_sql("a.qv", "b.qv")} <= {RANGE_R2}
+)"""
+)
+
+
+@register(
+    "similarity_range_recall",
+    _RANGE_TRUTH_SQL
+    + f"""
+, served AS (
+  SELECT id_a AS query_id, id_b AS neighbor_id FROM ({_RANGE_SQL})
+  UNION ALL
+  SELECT id_b, id_a FROM ({_RANGE_SQL})
+)
+SELECT t.query_id,
+       count(*)::BIGINT AS truth_n,
+       sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS hits,
+       CAST((sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             * 10000) // count(*) AS BIGINT) AS recall_e4
+FROM truth t LEFT JOIN served s
+  ON s.query_id = t.query_id AND s.neighbor_id = t.neighbor_id
+GROUP BY t.query_id
+""",
+    doc=f"self-measuring quality for the IVF RANGE serve: per sampled "
+    f"query (vec_id % {QMOD} = 0 — the bounded-ground-truth rule, the "
+    "metric's cost must not scale with the corpus), exact brute range "
+    f"neighbors within R2={RANGE_R2} vs the pairs the index-served "
+    "search actually returned; recall_e4 is the accountability number "
+    f"for the {NPROBE}/{IVF_KC}-cell probe budget — every approximate "
+    "serve in this catalog ships with the query that scores it "
+    "(lsh/ivf/adc/ivfpq recall precedents)",
+    tags=("similarity", "ivf", "metric"),
+)
+def similarity_range_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _vectors(spark, sf_dir)
+    q = km.quantize(n.select("vec_id", "v"))
+    qa = q.filter(F.col("vec_id") % QMOD == 0).select(
+        F.col("vec_id").alias("query_id"), km._qarr().alias("qa")
+    )
+    qb = q.select(
+        F.col("vec_id").alias("neighbor_id"), km._qarr().alias("qb")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, e) -> acc + e)"
+    )
+    # Q-row query sample broadcast onto the corpus — the whitelisted
+    # bounded brute-force class (this IS the ground-truth metric).
+    truth = (
+        qb.join(
+            F.broadcast(qa),
+            F.col("neighbor_id") != F.col("query_id"),
+        )
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= RANGE_R2)
+        .select("query_id", "neighbor_id")
+    )
+    pairs = _range_pairs(spark, sf_dir).select("id_a", "id_b")
+    served = (
+        pairs.select(
+            F.col("id_a").alias("query_id"),
+            F.col("id_b").alias("neighbor_id"),
+        )
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("query_id"),
+                F.col("id_a").alias("neighbor_id"),
+            )
+        )
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        truth.join(served, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("truth_n"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"),
+        )
+        .select(
+            "query_id",
+            "truth_n",
+            "hits",
+            F.expr("hits * 10000 div truth_n").alias("recall_e4"),
+        )
     )

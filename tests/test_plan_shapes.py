@@ -25,6 +25,7 @@ BNLJ_WHITELIST = {
     # the exact ground truth and the ADC scan — the same class
     "similarity_pq_adc_recall",
     "similarity_ivfpq_recall",
+    "similarity_range_recall",
     "similarity_topk_ivf",
     "dns_typosquat_levenshtein",
     # 1-row scalar aggregates (w_total, n_max) cross-joined back onto a

@@ -37,6 +37,7 @@ BNLJ_OK = {
     # embeds the brute-force ground truth as a subplan (like the other
     # recall metrics)
     "similarity_ivfpq_recall",
+    "similarity_range_recall",
     "dns_typosquat_levenshtein",
     # 1-row scalar aggregates (w_total, n_max) cross-joined onto a
     # 20-row dim — broadcast of single-row relations, the right plan
