@@ -81,7 +81,30 @@ def cached_index_path(
         build(root)
         with _INDEX_LOCK:
             cache[key] = root
+            # Publish-then-drop: late arrivals hit the cache before ever
+            # reaching the latch dict, and threads already parked on this
+            # latch hold their own reference, so popping here can't strand
+            # anyone — it just stops per-(cache, mtime-key) locks from
+            # accumulating across dataset regenerations (ADVICE r9).
+            _BUILD_LATCHES.pop((id(cache), key), None)
         return root
+
+
+def single_part_file(part_dir: str, what: str) -> str:
+    """Path of the one data file a ``coalesce(1)`` parquet write emitted.
+
+    The streaming queries stage each delivery half as exactly one file;
+    an empty half (possible at an untested scale factor) makes Spark
+    emit ZERO part files, and a bare ``(part,) = [...]`` unpack would
+    die with an opaque ValueError — name the half instead (ADVICE r9)."""
+    parts = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    if len(parts) != 1:
+        raise ValueError(
+            f"staging {what}: expected exactly 1 parquet part file in "
+            f"{part_dir}, found {len(parts)} — an empty delivery half "
+            "means this scale factor cannot exercise the two-batch split"
+        )
+    return os.path.join(part_dir, parts[0])
 
 
 @contextmanager

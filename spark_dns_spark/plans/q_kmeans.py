@@ -111,18 +111,24 @@ def lloyd_train(
     return cents
 
 
-def lloyd_cents_sql(kc: int, iters: int) -> tuple[str, str]:
+def lloyd_cents_sql(kc: int | str, iters: int) -> tuple[str, str]:
     """DuckDB CTE chain mirroring :func:`seed_cents` + :func:`lloyd_train`
     over a prior CTE ``q(vec_id, qv)``: seeds = the ``kc`` smallest
     vec_ids, then ``iters - 1`` assign/update rounds (argmin ties break
     to the smaller cell; update = floor(sum/count), empty cells keep
-    their centroid).  Returns ``(sql_fragment, final_cte_name)`` where
-    the final CTE has columns (cell, cv)."""
+    their centroid).  ``kc`` may be an int literal or a SQL scalar
+    expression (e.g. ``(SELECT kc FROM kprm)`` over a caller-provided
+    CTE) so the cell count can scale with the corpus INSIDE the oracle
+    — the dynamic-banding precedent (VERDICT r9 item 2).  Returns
+    ``(sql_fragment, final_cte_name)`` where the final CTE has columns
+    (cell, cv)."""
     parts = [
         f"""
 , c0 AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cv
-  FROM q ORDER BY vec_id LIMIT {kc}
+  SELECT cell, cv FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cv
+    FROM q
+  ) WHERE cell < {kc}
 )"""
     ]
     for t in range(1, iters):

@@ -600,7 +600,8 @@ def _topk_by(pairs: DataFrame, dist: F.Column, k: int) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 #: ADC shortlist per query AFTER the IVF probe prune (the probe already
-#: cuts the corpus to ~NPROBE/IVF_KC; the codes then cut the survivors
+#: cuts the corpus to ~NPROBE of the isqrt(n) cells — a SHRINKING
+#: fraction as the corpus grows; the codes then cut the survivors
 #: to the shortlist before any raw vector is read).  Scale-adaptive
 #: like SHORTLIST_*: max(10K, corpus/10) — wider than the pure-ADC
 #: shortlist because this stage re-ranks by cosine while ADC prunes by
@@ -621,7 +622,7 @@ _IVFPQ_SQL = (
              ORDER BY {km.dist_sql("q.qv", "c.cv")} ASC, c.cell) AS rn
     FROM (SELECT * FROM q WHERE vec_id % {qs.QMOD} = 0) q,
          {qs._IVF_CENTS_CTE} c
-  ) WHERE rn <= {qs.NPROBE}
+  ) WHERE rn <= (SELECT np FROM nprm)
 ), icand AS (
   SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
   FROM probes p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.query_id
@@ -652,7 +653,8 @@ _IVFPQ_SQL = (
     _IVFPQ_SQL,
     doc=f"IVF-PQ ANN serving — the FAISS-style composition of both "
     f"prebuilt indexes (VERDICT r8 item 3): queries probe "
-    f"{qs.NPROBE}/{qs.IVF_KC} IVF cells from the stored postings "
+    "ceil(log2 n) of the corpus-scaled isqrt(n) IVF "
+    "cells from the stored postings "
     "(ivf_index_path), the survivors are ADC-ranked using ONLY their "
     f"stored PQ codes (pq_index_path; map-only codeword-literal "
     f"decode) down to a max({IVFPQ_SHORT_MIN}, "
@@ -689,7 +691,7 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qq = km.quantize(
         n.filter(F.col("vec_id") % qs.QMOD == 0).select("vec_id", "v")
     )
-    probes = qs._nearest_cells(qq, cents, qs.NPROBE).withColumnRenamed(
+    probes = qs._nearest_cells(qq, cents, qs.nprobe(n.count())).withColumnRenamed(
         "vec_id", "query_id"
     )
     icand = (
@@ -850,6 +852,14 @@ FROM afin GROUP BY vec_id"""
     tags=("similarity", "pq", "incremental"),
 )
 def similarity_pq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pq_upsert(spark, sf_dir)
+
+
+def _pq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unwrapped upsert builder (the _ivfpq_topk precedent): callable
+    from other catalog queries without re-entering the registration
+    wrapper, whose release_all_caches must not run mid-query
+    (ADVICE r9)."""
     root = pq_base_index_path(spark, sf_dir)
     base = spark.read.parquet(f"{root}/codes").withColumn(
         "is_new", F.lit(0)
@@ -890,6 +900,7 @@ def similarity_pq_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_dns_spark.plans.feeds import (  # noqa: PLC0415
         await_or_fail,
         scratch_dir,
+        single_part_file,
     )
 
     root_idx = pq_base_index_path(spark, sf_dir)
@@ -916,11 +927,9 @@ def similarity_pq_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         part_dir = os.path.join(root, f"half{i}")
         half.coalesce(1).write.parquet(part_dir)
-        (part,) = [
-            f for f in os.listdir(part_dir) if f.endswith(".parquet")
-        ]
+        part = single_part_file(part_dir, f"similarity_pq_upsert_stream half{i}")
         dst = os.path.join(src_dir, f"{i:02d}_batch.parquet")
-        shutil.copy(os.path.join(part_dir, part), dst)
+        shutil.copy(part, dst)
         mt = os.stat(dst).st_mtime
         os.utime(dst, (mt - 10 * (1 - i), mt - 10 * (1 - i)))
 
@@ -974,7 +983,7 @@ GROUP BY is_new
 )
 def similarity_pq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        similarity_pq_upsert(spark, sf_dir)
+        _pq_upsert(spark, sf_dir)
         .groupBy("is_new")
         .agg(
             F.count(F.lit(1)).alias("n"),

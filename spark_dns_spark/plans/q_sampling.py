@@ -421,6 +421,7 @@ def sketch_countmin_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_dns_spark.plans.feeds import (  # noqa: PLC0415
         await_or_fail,
         scratch_dir,
+        single_part_file,
     )
 
     root = scratch_dir("cms_stream_")
@@ -433,11 +434,9 @@ def sketch_countmin_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         part_dir = os.path.join(root, f"half{i}")
         half.coalesce(1).write.parquet(part_dir)
-        (part,) = [
-            f for f in os.listdir(part_dir) if f.endswith(".parquet")
-        ]
+        part = single_part_file(part_dir, f"sketch_countmin_stream half{i}")
         dst = os.path.join(src_dir, f"{i:02d}_batch.parquet")
-        shutil.copy(os.path.join(part_dir, part), dst)
+        shutil.copy(part, dst)
         mt = os.stat(dst).st_mtime
         os.utime(dst, (mt - 10 * (1 - i), mt - 10 * (1 - i)))
 

@@ -32,7 +32,8 @@ def test_index_built_once_and_reused(spark, sf_dir):
     assert p1 == p2
     cents = spark.read.parquet(f"{p1}/cents")
     asg = spark.read.parquet(f"{p1}/asg")
-    assert cents.count() == qs.IVF_KC
+    n_corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert cents.count() == qs.ivf_kc(n_corpus)
     # every corpus vector is indexed under exactly IVF_ASSIGN cells
     bad = (
         asg.groupBy("vec_id")
