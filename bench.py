@@ -139,6 +139,8 @@ HEADLINE = [
     "multimodal_phash_neardup",
     "similarity_range_ivf",
     "similarity_range_recall",
+    # round-10 tier
+    "similarity_ivf_cell_balance",
 ]
 
 

@@ -517,6 +517,44 @@ _ROTATION_R9: dict[str, int] = {
 }
 
 
+#: Round-10 rotation, layered over r4+r6+r7+r8+r9 (later map wins).
+#: VERDICT r9 item 1: the driver's correctness gate came back EMPTY in
+#: r9 and the prime repo-side suspect is window WALL-CLOCK — the first
+#: ~50 entries included FOUR streaming queries (each stages files and
+#: runs its own jobs) plus the deliberately-heavy dense-BM25 tier
+#: (7.2 s at sf0.1, same audited plan as index_bm25_topk).  This
+#: round's policy: ONE streaming representative stays in-window
+#: (sessionize_stream_stateful — the stateful applyInPandasWithState
+#: shape, the most distinctive streaming capability), the rest rotate
+#: out; every rotated-out query stays under the full-catalog oracle
+#: gate (ORACLE_FULL_r{N}.json) + the bench every round, and each
+#: leaves an in-window family representative.  The r10-new/changed
+#: queries (similarity_ivf_cell_balance NEW; the whole IVF family's
+#: corpus-scaled KC/nprobe CHANGE) enter via the tier-5 default or are
+#: already in-window (ivf_upsert, ivf_recall, range pair, ivfpq pair).
+_ROTATION_R10: dict[str, int] = {
+    # rotate OUT — streaming entries beyond the single representative:
+    # dedup_minhash_stream (rep: dedup_minhash_incremental exercises
+    # the same persisted-band-index delta algebra batch-side; the
+    # foreachBatch idempotency contract stays pytest-pinned in
+    # test_streaming_dedup.py), sketch_countmin_stream (rep:
+    # sketch_countmin_freq — same d x w cells, same merge algebra,
+    # mergeability pinned by test_countmin.py), and
+    # similarity_pq_upsert_stream (rep: similarity_pq_upsert — the
+    # stream IS the batch upsert inside foreachBatch; byte-equality
+    # pinned by test_pq_upsert.py).
+    "dedup_minhash_stream": 6,
+    "sketch_countmin_stream": 6,
+    "similarity_pq_upsert_stream": 6,
+    # rotate OUT — the 10x-query-density BM25 tier: same audited plan
+    # as in-window index_bm25_topk (single persisted (doc,term) agg,
+    # AQE probe join, WindowGroupLimit); it exists as a bench
+    # measurement, and the bench runs it every round regardless of
+    # tier.
+    "index_bm25_dense": 6,
+}
+
+
 def register(
     name: str,
     sql: str | None,
@@ -594,7 +632,7 @@ def catalog() -> dict[str, Query]:
     order = {n: i for i, n in enumerate(_REGISTRY)}
     rotation = {
         **_ROTATION_R4, **_ROTATION_R6, **_ROTATION_R7, **_ROTATION_R8,
-        **_ROTATION_R9,
+        **_ROTATION_R9, **_ROTATION_R10,
     }
     for q in _REGISTRY.values():
         q.tier = rotation.get(q.name, q.tier)

@@ -1,0 +1,79 @@
+"""The driver's entry contract, simulated end-to-end (VERDICT r9
+item 1b): CORRECTNESS_r09.json came back EMPTY, so the repo-side half
+of that contract gets its own permanent gate — `__spark_entry__` must
+import fast, build EVERY query and oracle under a hard time budget,
+and `entry()` must run e2e on a session the repo did not tune
+(the driver builds a vanilla SparkSession, not our get_session)."""
+
+from __future__ import annotations
+
+import time
+
+import __spark_entry__ as entrymod
+
+
+def test_queries_and_oracles_build_fast():
+    # The driver calls queries() + oracle_sql() up front; if building
+    # the dicts were slow or threw, its gate would record nothing —
+    # exactly the r9 failure smell.  VERDICT timed the real thing at
+    # 0.64 s; budget 10x that.
+    t0 = time.time()
+    qs = entrymod.queries()
+    sqls = entrymod.oracle_sql()
+    took = time.time() - t0
+    assert took < 6.5, f"queries()+oracle_sql() took {took:.2f}s"
+    assert len(qs) >= 169
+    # every oracle names a registered query; every callable is callable
+    assert set(sqls) <= set(qs)
+    missing_oracle = sorted(set(qs) - set(sqls))
+    # rows-only entries must stay a deliberate, short list
+    assert not missing_oracle, missing_oracle
+    for fn in qs.values():
+        assert callable(fn)
+
+
+def test_oracle_sql_strings_are_bounded():
+    # The driver ships every oracle to a memory-tight DuckDB; a
+    # runaway pasted-subplan oracle (the r8 PQ OOM / ADVICE r9 range
+    # class) shows up first as raw SQL size.  Largest legitimate
+    # oracles (PQ chain, range recall) sit under ~60 KB.
+    for name, sql in entrymod.oracle_sql().items():
+        assert len(sql) < 80_000, (name, len(sql))
+
+
+def test_entry_runs_on_vanilla_session(spark, sf_dir):
+    # The driver smoke-checks entry() on ITS session.  Simulate the
+    # important part — entry() must not depend on our tuned session
+    # state: reset the configs session.tune() sets, run, restore.
+    conf = spark.conf
+    touched = {
+        "spark.sql.shuffle.partitions": conf.get(
+            "spark.sql.shuffle.partitions"
+        ),
+        "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
+    }
+    conf.set("spark.sql.shuffle.partitions", "200")  # vanilla default
+    try:
+        rows = entrymod.entry(spark).collect()
+        assert rows is not None  # >=0 rows with a stable schema
+    finally:
+        for k, v in touched.items():
+            conf.set(k, v)
+
+
+def test_window_has_one_streaming_entry():
+    # VERDICT r9 item 1a: the correctness window's wall-clock is the
+    # prime suspect for the empty r9 gate.  Pin the rotation policy:
+    # at most ONE streaming query inside the driver's ~50-entry
+    # window (each stages files and runs its own jobs).
+    from spark_dns_spark.plans.catalog import catalog
+
+    window = list(catalog().values())[:50]
+    # the connector's stream roundtrip is reference-core (S7/S10) and
+    # always stays; the cap applies to the LLM-pipeline streaming tier
+    streaming = [
+        q.name
+        for q in window
+        if "streaming" in q.tags and "connector" not in q.tags
+    ]
+    assert streaming == ["sessionize_stream_stateful"], streaming

@@ -53,6 +53,11 @@ BNLJ_WHITELIST = {
     # two 1-row relations (grand total tw, leftover seats) broadcast
     # onto the source-sized dim — same single-row-broadcast class
     "mix_token_budget_apportion",
+    # two 1-row relations (global min/max/count, the median row)
+    # broadcast onto the KC-row size histogram — same
+    # single-row-broadcast class (everything past the postings scan
+    # is model-scale)
+    "similarity_ivf_cell_balance",
 }
 
 #: Queries that run their own streaming jobs — planned separately.
