@@ -60,6 +60,18 @@ QUERIES = [
     "curation_boilerplate_clean",
     "text_langid_confusion",
     "multimodal_phash_neardup",
+    # r10 additions: the range pair (VERDICT r9 items 2+3 — the exact
+    # queries whose density-coupled cost most needed the 10x
+    # measurement), the cell-balance metric that makes the KC retune
+    # measurable, and the TPC-H pack-II join tier (make_sf1 grows the
+    # TPC-H fact web FK-consistently since r10)
+    "similarity_range_ivf",
+    "similarity_range_recall",
+    "similarity_ivf_cell_balance",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
 ]
 
 #: the full heavy-tier ORACLE list for the sf1 cross-engine gate
@@ -96,6 +108,13 @@ ORACLE_QUERIES = [
     "contamination_bloom_filter", "dedup_url_canonical",
     "curation_boilerplate_clean", "text_langid_confusion",
     "multimodal_phash_neardup",
+    # r10 additions (VERDICT r9 items 3+5+6)
+    "similarity_range_ivf", "similarity_range_recall",
+    "similarity_ivf_cell_balance", "sketch_countmin_stream",
+    "tpch_q5_local_supplier_volume", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue", "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
 ]
 
 
@@ -112,6 +131,17 @@ QUADRATIC_WORK = {
     "index_bm25_topk",
     "index_bm25_dense",
     "similarity_ivfpq_recall",
+    # every vector is a query AND the QMOD ground-truth sample grows
+    # 10x against a 10x corpus
+    "similarity_range_recall",
+}
+
+#: Queries whose work grows ~n^1.5 (x~32 at 10x data): the all-pairs
+#: range serve under the corpus-scaled IVF geometry — candidates per
+#: vector ~ nprobe x cell size ~ sqrt(n) log n (VERDICT r9 item 2's
+#: done-criterion: candidate growth tamed from quadratic).
+SESQUI_WORK = {
+    "similarity_range_ivf",
 }
 
 
@@ -146,7 +176,11 @@ def main() -> None:
             row[label] = round(min(times), 3)
             row[f"rows_{label}"] = n
         row["ratio"] = round(row["sf1"] / max(row["sf0.1"], 1e-9), 2)
-        row["work_growth_x"] = 100 if name in QUADRATIC_WORK else 10
+        row["work_growth_x"] = (
+            100 if name in QUADRATIC_WORK
+            else 32 if name in SESQUI_WORK
+            else 10
+        )
         results[name] = row
         print(
             f"# {name}: sf0.1 {row['sf0.1']}s -> sf1 {row['sf1']}s "
@@ -162,7 +196,7 @@ def main() -> None:
         "max_ratio_linear_work": max(
             r["ratio"]
             for n, r in results.items()
-            if n not in QUADRATIC_WORK
+            if n not in QUADRATIC_WORK and n not in SESQUI_WORK
         ),
         "max_ratio_quadratic_work": max(
             (r["ratio"] for n, r in results.items() if n in QUADRATIC_WORK),

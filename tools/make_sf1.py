@@ -3,10 +3,16 @@ growth of the sf0.1 heavy-tier tables, so the dedup/ANN/CC/packing/
 graph tiers can be oracle-checked and benched at 100x the driver's
 sf0.01 gate scale.
 
-Only the tables those tiers read are scaled — ``documents``,
-``embeddings``, ``events`` — the TPC-H tables are copied through at
-sf0.1 (no heavy-tier query joins them, and re-keying their foreign-key
-web would add risk for zero evidence).  Copy k of a row gets key
+The corpus tables those tiers read — ``documents``, ``embeddings``,
+``events`` — are scaled as below.  Since r10 (VERDICT r9 item 6) the
+TPC-H FACT web also grows 10x with a FK-consistent re-key (copy k of
+an order references copy k of its customer; copy k of a lineitem
+references copy k of its order/part/supplier — every key gets the
+same ``+ k*OFF``, so the join graph is ten disjoint sf0.1-shaped
+components), giving the join-heavy TPC-H tier the same 10x
+accountability as the corpus tier.  ``nation``/``region`` stay fixed
+— TPC-H itself holds them constant as SF grows, and per-nation group
+sizes growing 10x IS the realistic growth shape.  Copy k of a row gets key
 ``id + k*10_000_000``; the offset is a multiple of every modulus the
 catalog derives semantics from (doc batches ``% 10``, ANN queries
 ``% 50``, heavy-hitter keys ``% 2 / % 16 / % 100000``), so per-copy
@@ -30,7 +36,8 @@ copy is therefore transformed by a structure-preserving bijection:
   scales linearly by construction.
 
 Usage: python tools/make_sf1.py [out_dir]   (default .scratch/sf1)
-Idempotent via a .complete.v1 marker; ~20 s, ~200 MB.
+Idempotent via a .complete.v2 marker (bumped when the TPC-H growth
+mode landed; a v1 dir is wiped and rebuilt); ~30 s, ~250 MB.
 """
 
 from __future__ import annotations
@@ -47,16 +54,28 @@ OFF = 10_000_000
 SRC = "/root/testdata/sf0.1"
 DIM = 64
 
-PASSTHROUGH = (
-    "region nation customer supplier part orders lineitem".split()
-)
+PASSTHROUGH = ("region", "nation")
+
+#: TPC-H fact web: table -> key columns that get the per-copy offset
+#: (primary keys and the foreign keys pointing INSIDE the scaled web;
+#: n_nationkey/s_nationkey/c_nationkey point at the fixed dims and
+#: stay).
+TPCH_GROW = {
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+}
 
 
 def build(out_dir: str) -> str:
     out = Path(out_dir)
-    marker = out / ".complete.v1"
+    marker = out / ".complete.v2"
     if marker.exists():
         return str(out)
+    if out.exists():  # stale v1 layout (TPC-H passthrough) — rebuild
+        shutil.rmtree(out)
     out.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
     con.execute("SET threads=8")
@@ -120,6 +139,31 @@ COPY (
 
     for t in PASSTHROUGH:
         shutil.copyfile(f"{SRC}/{t}.parquet", out / f"{t}.parquet")
+
+    # TPC-H fact web: FK-consistent 10x re-key (values pass through —
+    # ten disjoint sf0.1-shaped join components; revenue/count aggs
+    # scale exactly 10x, per-group correlation structure is preserved
+    # per copy)
+    for t, keycols in TPCH_GROW.items():
+        cols = [
+            r[0]
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
+            ).fetchall()
+        ]
+        proj = ", ".join(
+            f"t.{c} + c.k*{OFF} AS {c}" if c in keycols else f"t.{c}"
+            for c in cols
+        )
+        con.execute(
+            f"""
+COPY (
+  SELECT {proj}
+  FROM read_parquet('{SRC}/{t}.parquet') t, {copies} c
+  ORDER BY {keycols[0]}
+) TO '{out}/{t}.parquet' (FORMAT PARQUET)
+"""
+        )
 
     # sanity: rotation really preserved within-copy geometry
     n0, n1 = con.execute(
