@@ -216,16 +216,26 @@ def cells_udf(cents: list[list[int]], kk: int):
         if not len(qv):
             return pd.Series([], dtype=object)
         x = np.stack(qv.to_numpy()).astype(np.int64)  # (b, DIM)
-        out = []
-        for lo in range(0, len(x), 2048):  # bound (slab, K, DIM) temp
-            xs = x[lo : lo + 2048]
-            d = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
-            order = np.argsort(d, axis=1, kind="stable")[:, :kk]
-            dk = np.take_along_axis(d, order, axis=1)
-            out.append(np.concatenate([order, dk], axis=1))
-        return pd.Series(list(np.concatenate(out)))
+        return pd.Series(list(nearest_cells_np(x, cb, kk)))
 
     return cells
+
+
+def nearest_cells_np(x: "np.ndarray", cb: "np.ndarray", kk: int) -> "np.ndarray":
+    """The pure nearest-``kk``-cells kernel: ``(b, DIM)`` int64 vectors
+    against ``(K, DIM)`` centroids -> ``(b, 2*kk)`` [cells, sq-dists],
+    cells by ascending integer L2 then cell id (argsort stable).
+    Module-level (not a closure) so the IVF upsert family's merge
+    algebra is property-testable without Spark
+    (tests/test_upsert_properties.py — VERDICT r9 item 7)."""
+    out = []
+    for lo in range(0, len(x), 2048):  # bound (slab, K, DIM) temp
+        xs = x[lo : lo + 2048]
+        d = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1, kind="stable")[:, :kk]
+        dk = np.take_along_axis(d, order, axis=1)
+        out.append(np.concatenate([order, dk], axis=1))
+    return np.concatenate(out)
 
 
 def _qarr() -> F.Column:

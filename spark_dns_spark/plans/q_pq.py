@@ -223,13 +223,24 @@ def _assign_codes(q: DataFrame, books: list[list[list[int]]]) -> DataFrame:
         if not len(qv):
             return pd.Series([], dtype=object)
         x = np.stack(qv.to_numpy()).astype(np.int64)  # (b, DIM)
-        s = x.reshape(len(x), PQ_M, 1, SUBD)
-        d = ((s - cb[None, :, :, :]) ** 2).sum(axis=3)  # (b, PQ_M, kk)
-        c = d.argmin(axis=2)  # first min == smallest cell on ties
-        dm = np.take_along_axis(d, c[:, :, None], axis=2)[:, :, 0]
-        return pd.Series(list(np.concatenate([c, dm], axis=1)))
+        return pd.Series(list(pq_encode_np(x, cb)))
 
     return q.select("vec_id", "qv", assign("qv").alias("cd"))
+
+
+def pq_encode_np(x: "np.ndarray", cb: "np.ndarray") -> "np.ndarray":
+    """The pure PQ encode kernel: ``(b, DIM)`` int64 vectors against a
+    ``(PQ_M, kk, SUBD)`` codebook -> ``(b, 2*PQ_M)`` [codes, sq-dists].
+    Module-level (not a closure) so the upsert family's merge algebra
+    is property-testable without Spark (tests/test_upsert_properties.py
+    replays adversarial batch splits against rebuild equality —
+    VERDICT r9 item 7).  ``argmin`` returns the FIRST minimum: ties
+    break to the smaller cell, matching the oracle's ORDER BY d, cell."""
+    s = x.reshape(len(x), PQ_M, 1, SUBD)
+    d = ((s - cb[None, :, :, :]) ** 2).sum(axis=3)  # (b, PQ_M, kk)
+    c = d.argmin(axis=2)
+    dm = np.take_along_axis(d, c[:, :, None], axis=2)[:, :, 0]
+    return np.concatenate([c, dm], axis=1)
 
 
 def _codes_df(out: DataFrame) -> DataFrame:
