@@ -141,6 +141,8 @@ HEADLINE = [
     "similarity_range_recall",
     # round-10 tier
     "similarity_ivf_cell_balance",
+    "similarity_topk_filtered",
+    "similarity_ivf_cell_split",
 ]
 
 

@@ -552,6 +552,17 @@ _ROTATION_R10: dict[str, int] = {
     # measurement, and the bench runs it every round regardless of
     # tier.
     "index_bm25_dense": 6,
+    # rotate OUT (making room for similarity_topk_filtered +
+    # similarity_ivf_cell_split, NEW r10): heavy_hitters_events is
+    # green r5-r9 untouched (frequency-estimation family rep:
+    # sketch_countmin_freq stays in-window; the exact top-k algebra is
+    # pytest-pinned in test_heavyhitters.py), and kmeans_lloyd_cells
+    # is green r6-r9 untouched (the identical integer-Lloyd train
+    # algebra runs IN-WINDOW inside every IVF-family oracle via the
+    # kprm/cents chain; the standalone query stays benched +
+    # full-gate + pytest-pinned in test_kmeans.py).
+    "heavy_hitters_events": 6,
+    "kmeans_lloyd_cells": 6,
 }
 
 

@@ -115,6 +115,7 @@ ORACLE_QUERIES = [
     "tpch_q8_market_share", "tpch_q10_returned_items",
     "tpch_q14_promo_revenue", "tpch_q17_small_quantity_revenue",
     "tpch_q19_disjunctive_revenue",
+    "similarity_topk_filtered", "similarity_ivf_cell_split",
 ]
 
 
