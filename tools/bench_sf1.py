@@ -115,7 +115,8 @@ ORACLE_QUERIES = [
     "tpch_q8_market_share", "tpch_q10_returned_items",
     "tpch_q14_promo_revenue", "tpch_q17_small_quantity_revenue",
     "tpch_q19_disjunctive_revenue",
-    "similarity_topk_filtered", "similarity_ivf_cell_split",
+    "similarity_topk_filtered", "similarity_filtered_recall",
+    "similarity_ivf_cell_split",
 ]
 
 
@@ -135,6 +136,8 @@ QUADRATIC_WORK = {
     # every vector is a query AND the QMOD ground-truth sample grows
     # 10x against a 10x corpus
     "similarity_range_recall",
+    # 10x queries x 10x same-label brute ground truth
+    "similarity_filtered_recall",
 }
 
 #: Queries whose work grows ~n^1.5 (x~32 at 10x data): the all-pairs
