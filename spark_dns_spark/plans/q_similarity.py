@@ -892,9 +892,13 @@ def _range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
   WHERE a.vec_id % {QMOD} = 0
     AND {km.dist_sql("a.qv", "b.qv")} <= {RANGE_R2}
 ), served AS (
-  SELECT id_a AS query_id, id_b AS neighbor_id FROM rng
-  UNION ALL
-  SELECT id_b, id_a FROM rng
+  -- both pair directions in ONE rng scan (a lateral [1,2] unnest):
+  -- with rng referenced twice DuckDB re-evaluated the whole serve
+  -- chain per branch and OOMed the memory-tight sf1 gate (15 GiB);
+  -- single-reference runs it once — 75 s under a 14 GiB cap, vs OOM
+  SELECT CASE WHEN d.i = 1 THEN id_a ELSE id_b END AS query_id,
+         CASE WHEN d.i = 1 THEN id_b ELSE id_a END AS neighbor_id
+  FROM rng, (SELECT unnest([1, 2]) AS i) d
 )
 SELECT t.query_id,
        count(*)::BIGINT AS truth_n,
@@ -975,7 +979,10 @@ def similarity_range_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity_ivf_cell_balance",
     _IVF_CTE
     + """
-, szs AS (
+, szs AS MATERIALIZED (
+  -- KC rows; referenced by rk/gl and the final histogram — without
+  -- the hint DuckDB re-ran the Lloyd chain per consumer and OOMed
+  -- the sf1 gate (the cell-split ext/post lesson)
   SELECT cell, count(*)::BIGINT AS sz FROM asg GROUP BY cell
 ), rk AS (
   SELECT sz, row_number() OVER (ORDER BY sz, cell) AS rn FROM szs
@@ -1248,9 +1255,10 @@ def similarity_ivf_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # demote targets: re-assign ONLY the spilled vectors against the
     # stored centroids (map over |spill| vectors, slots 1..2*ASSIGN)
     q = km.quantize(n.select("vec_id", "v"))
-    overq = q.join(
-        F.broadcast(spill.select("vec_id").distinct()), "vec_id"
-    )
+    # no pinned broadcast: the spill set is data-dependent (tiny under
+    # a healthy cap, O(postings) if the index drifted badly) — AQE
+    # picks the join strategy (the house rule for growing relations)
+    overq = q.join(spill.select("vec_id").distinct(), "vec_id")
     ext = _nearest_cells(overq, cents, 2 * IVF_ASSIGN, meta=True)
     moved = (
         spill.alias("s")
