@@ -68,6 +68,8 @@ QUERIES = [
     "similarity_range_ivf",
     "similarity_range_recall",
     "similarity_ivf_cell_balance",
+    "similarity_topk_filtered",
+    "similarity_ivf_cell_split",
     "tpch_q5_local_supplier_volume",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
@@ -138,6 +140,9 @@ QUADRATIC_WORK = {
     "similarity_range_recall",
     # 10x queries x 10x same-label brute ground truth
     "similarity_filtered_recall",
+    # 10x queries x growing per-query probe scan (widened probes x
+    # sqrt-sized cells)
+    "similarity_topk_filtered",
 }
 
 #: Queries whose work grows ~n^1.5 (x~32 at 10x data): the all-pairs
