@@ -30,6 +30,12 @@ plan-audit:
 bench:
 	python bench.py
 
+# hostile-driver correctness repro (VERDICT r10 item 1): the driver's
+# exact 50-query window on a VANILLA session in a memory/timeout-bound
+# subprocess, JSON buffered to the end; commit the artifact each round
+gate-repro:
+	python tools/gate_repro.py --json GATE_REPRO_$(ROUND).json
+
 # 10x-growth evidence: generate sf1, oracle-check the heavy tiers,
 # time the top slowest for scaling ratios (VERDICT r7 item 2)
 sf1:

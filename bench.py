@@ -14,6 +14,12 @@ from __future__ import annotations
 
 import json
 import os
+
+# Keep the gate breadcrumb trail (.gate_trace.jsonl) for EXTERNAL
+# driver runs only (must be set before __spark_entry__ import).
+import os as _os_trace
+_os_trace.environ.setdefault("SPARK_GRAFT_TRACE", "0")
+
 import sys
 import time
 from pathlib import Path

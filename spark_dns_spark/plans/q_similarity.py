@@ -300,10 +300,14 @@ _KPRM_CTE = f"""
   FROM q
 )"""
 
+#: ``greatest(count, 2)`` mirrors :func:`nprobe`'s ``max(n, 2)`` guard:
+#: on an empty/1-row corpus ``log2(0|1)`` would be -inf/0 and the
+#: BIGINT cast would throw where the Spark side returns schema-stable
+#: empty results (ADVICE r10).
 _NPRM_CTE = f"""
 , nprm AS (
   SELECT greatest({NPROBE_MIN},
-                  CAST(ceil(log2(count(*))) AS BIGINT)) AS np
+                  CAST(ceil(log2(greatest(count(*), 2))) AS BIGINT)) AS np
   FROM q
 )"""
 
@@ -1230,8 +1234,17 @@ def similarity_ivf_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "vec_id bigint, cell bigint, moved int"
         )
-    kc = len(cents)
     n_total = load_table(spark, sf_dir, "embeddings").count()
+    # kc from the SAME derivation as the oracle's kprm CTE — len(cents)
+    # would diverge for n < IVF_KC_MIN (k-means returns n cells) and the
+    # demote join would silently drop spilled postings (ADVICE r10).
+    # Minimum supported corpus: the split operator assumes every cell's
+    # spill has IVF_ASSIGN*... demote targets available, which holds for
+    # n >= 2*IVF_ASSIGN; testdata starts far above (sf0.001 ⇒ 600).
+    kc = ivf_kc(n_total)
+    assert n_total >= 2 * IVF_ASSIGN, (
+        f"cell split needs >= {2 * IVF_ASSIGN} vectors, got {n_total}"
+    )
     cap = (CAP_NUM * IVF_ASSIGN * n_total + CAP_DEN * kc - 1) // (
         CAP_DEN * kc
     )

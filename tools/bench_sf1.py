@@ -18,6 +18,12 @@ from __future__ import annotations
 
 import json
 import sys
+
+# Keep the gate breadcrumb trail (.gate_trace.jsonl) for EXTERNAL
+# driver runs only (must be set before __spark_entry__ import).
+import os as _os_trace
+_os_trace.environ.setdefault("SPARK_GRAFT_TRACE", "0")
+
 import time
 from pathlib import Path
 
@@ -190,6 +196,17 @@ def main() -> None:
             else 32 if name in SESQUI_WORK
             else 10
         )
+        # Output-aware bound (VERDICT r10 item 2): a pair-emitting query
+        # (near-dup joins) legitimately spends time proportional to its
+        # OUTPUT when that grows faster than the input — e.g. phash
+        # pairs grew 261x on 10x data in r10 because identical binary
+        # payloads recur across copies.  Judge each ratio against
+        # max(designed work growth, measured output growth).
+        row["output_growth_x"] = round(
+            row["rows_sf1"] / max(row["rows_sf0.1"], 1), 2
+        )
+        row["bound_x"] = max(row["work_growth_x"], row["output_growth_x"])
+        row["in_bounds"] = row["ratio"] <= row["bound_x"]
         results[name] = row
         print(
             f"# {name}: sf0.1 {row['sf0.1']}s -> sf1 {row['sf1']}s "
@@ -210,6 +227,15 @@ def main() -> None:
         "max_ratio_quadratic_work": max(
             (r["ratio"] for n, r in results.items() if n in QUADRATIC_WORK),
             default=None,
+        ),
+        # every work class gets a headline bound (ADVICE r10: sesqui
+        # queries previously escaped all summary statistics)
+        "max_ratio_sesqui_work": max(
+            (r["ratio"] for n, r in results.items() if n in SESQUI_WORK),
+            default=None,
+        ),
+        "breaches": sorted(
+            n for n, r in results.items() if not r["in_bounds"]
         ),
         "sf1_dir": sf1,
         "note": (

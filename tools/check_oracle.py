@@ -27,6 +27,12 @@ from __future__ import annotations
 import hashlib
 import math
 import sys
+
+# Keep the gate breadcrumb trail (.gate_trace.jsonl) for EXTERNAL
+# driver runs only (must be set before __spark_entry__ import).
+import os as _os_trace
+_os_trace.environ.setdefault("SPARK_GRAFT_TRACE", "0")
+
 from datetime import datetime
 from pathlib import Path
 

@@ -1,0 +1,209 @@
+"""Hostile-driver repro harness for the correctness gate (VERDICT r10 #1).
+
+The external driver's correctness artifact came back empty (``{}``) in
+rounds 9 and 10 while our own ``tools/check_oracle.py`` run of the same
+window stays green.  This tool reproduces the *hostile* conditions an
+unknown external harness might impose, so the failure (if reproducible)
+is caught and localized BEFORE the driver runs:
+
+- **vanilla SparkSession** — ``SparkSession.builder.master(local[N])``
+  with NO tuning: default 1g driver heap, 200 shuffle partitions until
+  the catalog's own ``tune()`` kicks in, UI on;
+- **subprocess isolation** — the window runs in a child process with a
+  hard wall-clock timeout (parent SIGKILLs on breach) and an address-
+  space rlimit on the Python side;
+- **JSON written only at the end** — like a harness that buffers all
+  results in memory; a crash loses everything EXCEPT the fsync'd
+  ``.gate_trace.jsonl`` breadcrumbs from ``__spark_entry__`` (traced ON
+  in the child precisely to exercise that trail).
+
+The parent always writes its artifact (``--json``), recording rc /
+timeout / the child's buffered results if they survived / the trace
+tail showing the last query the child touched.
+
+Usage: python tools/gate_repro.py [--json GATE_REPRO.json] [--n 50]
+         [--timeout 900] [--mem-gb 24] [--sf /root/testdata/sf0.01]
+
+Measured (r11): RLIMIT_AS=12GB kills the vanilla local[32] JVM — its
+virtual reservations exceed that even at -Xmx1g, and every collect then
+fails with ``ConnectionRefusedError`` (the breadcrumbs catch it as
+per-query ``fn_error`` lines).  24GB is the lowest tested bound that
+lets the JVM start; it still catches a runaway Python side.  ``--mem-gb
+0`` disables the rlimit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+TRACE = REPO / ".gate_trace.jsonl"
+
+
+# ---------------------------------------------------------------- child
+def child_main(sf_dir: str, n: int, out_path: str) -> int:
+    """Run the first-``n`` catalog window on a vanilla session; buffer
+    every result; write JSON once at the very end (hostile pattern)."""
+    os.environ["SPARK_GRAFT_TRACE"] = "1"  # exercise the breadcrumbs
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod  # noqa: E402 (repo-root import)
+    from tools.check_oracle import (  # reuse the exact comparator
+        TABLES,
+        _pandas_rows,
+        configure_duck,
+        run_oracle_resilient,
+        table_hash,
+    )
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # deliberately untuned — what an external harness would build
+    spark = SparkSession.builder.master(f"local[{cpus}]").getOrCreate()
+
+    import duckdb
+
+    con = duckdb.connect()
+    configure_duck(con)
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    window = list(qs)[:n]
+
+    results: dict[str, dict] = {}  # buffered — only flushed at the end
+    for name in window:
+        rec = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "err": None}
+        try:
+            sdf = qs[name](spark, sf_dir)
+            scols, srows = _pandas_rows(sdf.toPandas())
+            if name in oracles:
+                dcols, drows = _pandas_rows(
+                    run_oracle_resilient(con, oracles[name]))
+                rec["rows_match"] = len(srows) == len(drows)
+                rec["schema_match"] = sorted(scols) == sorted(dcols)
+                rec["hash_match"] = (
+                    rec["rows_match"] and rec["schema_match"]
+                    and table_hash(srows, scols) == table_hash(drows, dcols))
+            else:
+                rec.update(rows_match=True, schema_match=True,
+                           hash_match=True, err="rows-only")
+            rec["spark_rows"] = len(srows)
+        except Exception as e:  # buffer the failure, keep going
+            rec["err"] = f"{type(e).__name__}: {e}"[:300]
+        results[name] = rec
+
+    Path(out_path).write_text(json.dumps(results, indent=1) + "\n")
+    n_green = sum(1 for r in results.values() if r["hash_match"])
+    print(f"child: {n_green}/{len(window)} green")
+    return 0 if n_green == len(window) else 1
+
+
+# --------------------------------------------------------------- parent
+def parent_main(args) -> int:
+    trace_offset = TRACE.stat().st_size if TRACE.exists() else 0
+    child_out = REPO / ".gate_repro_child.json"
+    child_out.unlink(missing_ok=True)
+
+    import resource  # imported pre-fork; preexec_fn must not import
+
+    def limit_child():  # applied in the child between fork and exec
+        if args.mem_gb <= 0:
+            return
+        try:
+            lim = args.mem_gb * (1 << 30)
+            resource.setrlimit(resource.RLIMIT_AS, (lim, lim))
+        except Exception:
+            pass
+
+    cmd = [sys.executable, __file__, "--child", "--sf", args.sf,
+           "--n", str(args.n), "--child-out", str(child_out)]
+    t0 = time.time()
+    timed_out = False
+    proc = subprocess.Popen(
+        cmd, cwd=str(REPO), preexec_fn=limit_child,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        out, _ = proc.communicate(timeout=args.timeout)
+    except subprocess.TimeoutExpired:
+        timed_out = True
+        proc.kill()
+        out, _ = proc.communicate()
+    wall = round(time.time() - t0, 1)
+
+    # harvest whatever survived
+    child_results = None
+    if child_out.exists():
+        try:
+            child_results = json.loads(child_out.read_text())
+        except Exception:
+            pass
+        child_out.unlink(missing_ok=True)
+    trace_tail: list[dict] = []
+    if TRACE.exists():
+        with open(TRACE, "rb") as f:
+            f.seek(trace_offset)
+            new = f.read().decode(errors="replace").strip()
+        lines = new.splitlines()
+        trace_tail = [json.loads(x) for x in lines[-8:] if x.strip()]
+        n_trace = len(lines)
+    else:
+        n_trace = 0
+
+    n_green = (sum(1 for r in child_results.values() if r.get("hash_match"))
+               if child_results else 0)
+    report = {
+        "rc": proc.returncode,
+        "timed_out": timed_out,
+        "wall_s": wall,
+        "timeout_s": args.timeout,
+        "mem_gb_rlimit": args.mem_gb,
+        "sf": args.sf,
+        "window_n": args.n,
+        "child_wrote_json": child_results is not None,
+        "n_green": n_green,
+        "failed": ([k for k, r in child_results.items()
+                    if not r.get("hash_match")] if child_results else None),
+        "trace_lines": n_trace,
+        "trace_tail": trace_tail,
+        "child_stdout_tail": (out or "")[-1500:],
+    }
+    if args.json:
+        Path(args.json).write_text(json.dumps(report, indent=2) + "\n")
+        print(f"wrote {args.json}")
+    verdict = ("GREEN" if (not timed_out and child_results is not None
+                           and n_green == args.n) else "NOT-GREEN")
+    print(f"gate_repro: {verdict} rc={proc.returncode} timed_out={timed_out} "
+          f"wall={wall}s green={n_green}/{args.n} "
+          f"json_survived={child_results is not None}")
+    if trace_tail:
+        print("last breadcrumbs:",
+              " | ".join(f"{t.get('phase')}:{t.get('name', '')}"
+                         for t in trace_tail[-4:]))
+    return 0 if verdict == "GREEN" else 1
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", action="store_true")
+    ap.add_argument("--child-out", default="")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--n", type=int, default=50)
+    ap.add_argument("--timeout", type=int, default=900)
+    ap.add_argument("--mem-gb", type=int, default=24)
+    ap.add_argument("--json", default="")
+    a = ap.parse_args()
+    if a.child:
+        sys.exit(child_main(a.sf, a.n, a.child_out))
+    sys.exit(parent_main(a))

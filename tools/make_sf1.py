@@ -69,12 +69,34 @@ TPCH_GROW = {
 }
 
 
+#: Every artifact this tool has ever written into out_dir — the rmtree
+#: guard below only wipes a directory whose contents are a subset of
+#: these (a recognizable stale build), never an arbitrary user path.
+_OWN_ARTIFACTS = frozenset(
+    f"{t}.parquet"
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings partsupp".split()
+    )
+) | {".complete.v1", ".complete.v2", ".complete.v3"}
+
+
 def build(out_dir: str) -> str:
     out = Path(out_dir)
     marker = out / ".complete.v2"
     if marker.exists():
         return str(out)
-    if out.exists():  # stale v1 layout (TPC-H passthrough) — rebuild
+    if out.exists():
+        # stale build (older marker / interrupted run) — rebuild.  Only
+        # rmtree what is RECOGNIZABLY ours: out_dir comes from argv, so
+        # a typo'd path must abort, not be deleted (ADVICE r10).
+        entries = {p.name for p in out.iterdir()}
+        if not entries <= _OWN_ARTIFACTS:
+            raise SystemExit(
+                f"refusing to wipe {out}: unexpected entries "
+                f"{sorted(entries - _OWN_ARTIFACTS)[:5]} — not a stale "
+                "sf1 build; remove it manually if intended"
+            )
         shutil.rmtree(out)
     out.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()

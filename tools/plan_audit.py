@@ -9,6 +9,12 @@ from __future__ import annotations
 
 import re
 import sys
+
+# Keep the gate breadcrumb trail (.gate_trace.jsonl) for EXTERNAL
+# driver runs only (must be set before __spark_entry__ import).
+import os as _os_trace
+_os_trace.environ.setdefault("SPARK_GRAFT_TRACE", "0")
+
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
