@@ -150,6 +150,11 @@ HEADLINE = [
     "similarity_topk_filtered",
     "similarity_filtered_recall",
     "similarity_ivf_cell_split",
+    # round-11 tier (87 -> 90): the last TPC-H join shapes (derived
+    # shipping columns / partsupp — q_tpch2 header note)
+    "tpch_q12_shipmode_priority",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q21_waiting_suppliers",
 ]
 
 

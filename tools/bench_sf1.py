@@ -80,6 +80,12 @@ QUERIES = [
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q10_returned_items",
+    # r11 additions: the last TPC-H shapes (derived shipping columns /
+    # partsupp, q_tpch2 header note) — Q21's per-order sole-late-supplier
+    # agg is the shape whose scaling most needs evidence
+    "tpch_q12_shipmode_priority",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q21_waiting_suppliers",
 ]
 
 #: the full heavy-tier ORACLE list for the sf1 cross-engine gate
@@ -122,7 +128,8 @@ ORACLE_QUERIES = [
     "tpch_q5_local_supplier_volume", "tpch_q7_volume_shipping",
     "tpch_q8_market_share", "tpch_q10_returned_items",
     "tpch_q14_promo_revenue", "tpch_q17_small_quantity_revenue",
-    "tpch_q19_disjunctive_revenue",
+    "tpch_q19_disjunctive_revenue", "tpch_q12_shipmode_priority",
+    "tpch_q16_supplier_part_counts", "tpch_q21_waiting_suppliers",
     "similarity_topk_filtered", "similarity_filtered_recall",
     "similarity_ivf_cell_split",
 ]
