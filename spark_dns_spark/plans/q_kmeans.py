@@ -221,6 +221,55 @@ def cells_udf(cents: list[list[int]], kk: int):
     return cells
 
 
+#: Per-worker codebook cache for the large-KC path: keyed by parquet
+#: directory path.  Index roots are content-keyed (feeds.cached_index_path
+#: embeds the source mtime), so a rebuilt index gets a NEW path and a
+#: stale cache entry can never serve a current query.
+_CB_CACHE: dict[str, "np.ndarray"] = {}
+
+
+def _load_cb(path: str) -> "np.ndarray":
+    """Worker-side centroid load (pyarrow, no Spark): the (K, DIM) int64
+    matrix sorted by cell — each Python worker reads the index parquet
+    directly from (shared, on a cluster) storage exactly once per
+    process, so NO centroid bytes ride the driver, the task closure, or
+    a shuffle.  This is the model-parallel serving pattern for model
+    state too big to collect-and-close-over."""
+    cb = _CB_CACHE.get(path)
+    if cb is None:
+        import pyarrow.dataset as ds
+
+        t = (
+            ds.dataset(path)
+            .to_table(columns=["cell", "cv"])
+            .to_pandas()
+            .sort_values("cell")
+        )
+        cb = np.stack(t["cv"].to_numpy()).astype(np.int64)
+        _CB_CACHE[path] = cb
+    return cb
+
+
+def cells_udf_from_path(path: str, kk: int):
+    """:func:`cells_udf` for LARGE codebooks (KC beyond the driver
+    collect-and-close-over comfort zone, q_similarity.KC_DRIVER_MAX):
+    the closure captures only the parquet PATH; each worker loads the
+    centroid matrix itself via :func:`_load_cb`.  Bit-identical to the
+    closure path — same :func:`nearest_cells_np` kernel on the same
+    cell-ordered matrix (tests/test_large_kc_path.py proves
+    equivalence)."""
+
+    @F.pandas_udf("array<long>")
+    def cells(qv: pd.Series) -> pd.Series:
+        if not len(qv):
+            return pd.Series([], dtype=object)
+        cb = _load_cb(path)
+        x = np.stack(qv.to_numpy()).astype(np.int64)  # (b, DIM)
+        return pd.Series(list(nearest_cells_np(x, cb, kk)))
+
+    return cells
+
+
 def nearest_cells_np(x: "np.ndarray", cb: "np.ndarray", kk: int) -> "np.ndarray":
     """The pure nearest-``kk``-cells kernel: ``(b, DIM)`` int64 vectors
     against ``(K, DIM)`` centroids -> ``(b, 2*kk)`` [cells, sq-dists],

