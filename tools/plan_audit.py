@@ -2,11 +2,20 @@
 a report: join strategies, nested-loop red flags, pushdown reaching the
 scans, and exchange counts.
 
+Since r11 (VERDICT r10 item 5) the audit also REGRESSION-checks against
+a committed baseline: ``PLAN_BASELINE.json`` stores each query's
+{join strategy counts, exchanges, scans-with-pushdown}; a silent new
+Exchange, a lost broadcast, or a new nested loop vs baseline fails the
+run even when it passes the static anti-pattern checks.  A DELIBERATE
+plan change regenerates the baseline in the same commit:
+
 Usage:  python tools/plan_audit.py [sf_dir] [query ...]
+        python tools/plan_audit.py --write-baseline   # regenerate
 """
 
 from __future__ import annotations
 
+import json
 import re
 import sys
 
@@ -18,6 +27,8 @@ _os_trace.environ.setdefault("SPARK_GRAFT_TRACE", "0")
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+BASELINE_PATH = Path(__file__).resolve().parent.parent / "PLAN_BASELINE.json"
 
 #: Queries that run real streaming jobs when built — skip planning them.
 SKIP = {
@@ -76,24 +87,56 @@ BNLJ_OK = {
 }
 
 
-def audit(name: str, plan: str) -> tuple[str, str]:
-    """Return (verdict, detail) for one executed plan."""
-    joins = {
+def plan_stats(plan: str) -> dict[str, int]:
+    """The plan-shape signature the baseline pins."""
+    return {
         "BHJ": plan.count("BroadcastHashJoin"),
         "SMJ": plan.count("SortMergeJoin"),
         "SHJ": plan.count("ShuffledHashJoin"),
         "BNLJ": plan.count("BroadcastNestedLoopJoin"),
         "CART": plan.count("CartesianProduct"),
+        "exchanges": len(re.findall(r"Exchange (?:hash|range|Single)", plan)),
+        "pushdown": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
     }
-    exchanges = len(re.findall(r"Exchange (?:hash|range|Single)", plan))
-    pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
+
+
+def audit(name: str, plan: str) -> tuple[str, str]:
+    """Return (verdict, detail) for one executed plan (static checks)."""
+    s = plan_stats(plan)
+    joins = {k: s[k] for k in ("BHJ", "SMJ", "SHJ", "BNLJ", "CART")}
     detail = (
         ", ".join(f"{k}={v}" for k, v in joins.items() if v)
         or "no joins"
     )
-    detail += f"; exchanges={exchanges}; scans-with-pushdown={pushed}"
+    detail += f"; exchanges={s['exchanges']}; scans-with-pushdown={s['pushdown']}"
     bad = (joins["BNLJ"] or joins["CART"]) and name not in BNLJ_OK
     return ("FLAG" if bad else "ok  "), detail
+
+
+def drift(name: str, cur: dict, base: dict | None) -> list[str]:
+    """Regressions of ``cur`` vs the baseline signature (empty = none).
+
+    Flags only CHANGES FOR THE WORSE — a new Exchange, a lost
+    broadcast (BHJ down / SMJ up), any new nested loop or cartesian,
+    or a scan losing its pushdown; improvements are reported by the
+    caller as a reminder to refresh the baseline, never as failures.
+    """
+    if base is None:
+        return [f"not in baseline (new query? run --write-baseline)"]
+    out = []
+    if cur["exchanges"] > base["exchanges"]:
+        out.append(f"exchanges {base['exchanges']} -> {cur['exchanges']}")
+    if cur["BNLJ"] > base["BNLJ"]:
+        out.append(f"BNLJ {base['BNLJ']} -> {cur['BNLJ']}")
+    if cur["CART"] > base["CART"]:
+        out.append(f"CART {base['CART']} -> {cur['CART']}")
+    if cur["BHJ"] < base["BHJ"]:
+        out.append(f"lost broadcast: BHJ {base['BHJ']} -> {cur['BHJ']}")
+    if cur["SMJ"] > base["SMJ"]:
+        out.append(f"SMJ {base['SMJ']} -> {cur['SMJ']}")
+    if cur["pushdown"] < base["pushdown"]:
+        out.append(f"pushdown {base['pushdown']} -> {cur['pushdown']}")
+    return out
 
 
 def main() -> int:
@@ -101,12 +144,20 @@ def main() -> int:
     from spark_dns_spark.session import get_session
 
     args = sys.argv[1:]
+    write_baseline = "--write-baseline" in args
+    if write_baseline:
+        args.remove("--write-baseline")
     sf_dir = args[0] if args and Path(args[0]).is_dir() else "/root/testdata/sf0.01"
     only = args[1:] if args and Path(args[0]).is_dir() else args
 
+    baseline: dict = {}
+    if BASELINE_PATH.exists() and not write_baseline:
+        baseline = json.loads(BASELINE_PATH.read_text())
+
     spark = get_session("plan-audit")
     qs = entrymod.queries()
-    flagged = []
+    flagged, drifted, improved = [], [], []
+    stats_all: dict[str, dict] = {}
     for name in only or sorted(qs):
         if name in SKIP:
             continue
@@ -120,9 +171,40 @@ def main() -> int:
         verdict, detail = audit(name, plan)
         if verdict == "FLAG":
             flagged.append(name)
-        print(f"{verdict} {name}: {detail}")
+        cur = plan_stats(plan)
+        stats_all[name] = cur
+        note = ""
+        if baseline:
+            regressions = drift(name, cur, baseline.get(name))
+            if regressions:
+                drifted.append(name)
+                verdict, note = "DRIFT", " | " + "; ".join(regressions)
+            elif cur != baseline.get(name):
+                improved.append(name)
+                note = " | improved vs baseline (refresh when deliberate)"
+        print(f"{verdict} {name}: {detail}{note}")
+
+    if write_baseline:
+        if only:
+            # partial regen: merge into the existing baseline
+            merged = (
+                json.loads(BASELINE_PATH.read_text())
+                if BASELINE_PATH.exists()
+                else {}
+            )
+            merged.update(stats_all)
+            stats_all = merged
+        BASELINE_PATH.write_text(
+            json.dumps(dict(sorted(stats_all.items())), indent=1) + "\n"
+        )
+        print(f"\nwrote {BASELINE_PATH.name} ({len(stats_all)} plans)")
+
     print(f"\n{len(flagged)} flagged" + (f": {' '.join(flagged)}" if flagged else ""))
-    return 1 if flagged else 0
+    if baseline:
+        print(f"{len(drifted)} drifted" + (f": {' '.join(drifted)}" if drifted else ""))
+        if improved:
+            print(f"{len(improved)} improved vs baseline: {' '.join(improved)}")
+    return 1 if (flagged or drifted) else 0
 
 
 if __name__ == "__main__":
