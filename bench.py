@@ -150,11 +150,14 @@ HEADLINE = [
     "similarity_topk_filtered",
     "similarity_filtered_recall",
     "similarity_ivf_cell_split",
-    # round-11 tier (87 -> 90): the last TPC-H join shapes (derived
-    # shipping columns / partsupp — q_tpch2 header note)
+    # round-11 tier (87 -> 92): the last TPC-H join shapes (derived
+    # shipping columns / partsupp — q_tpch2 header note) and the cell
+    # maintenance fixpoint pair
     "tpch_q12_shipmode_priority",
     "tpch_q16_supplier_part_counts",
     "tpch_q21_waiting_suppliers",
+    "similarity_ivf_cell_split_fixpoint",
+    "similarity_ivf_upsert_rebalance",
 ]
 
 

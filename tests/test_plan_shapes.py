@@ -58,6 +58,9 @@ BNLJ_WHITELIST = {
     # single-row-broadcast class (everything past the postings scan
     # is model-scale)
     "similarity_ivf_cell_balance",
+    # same class: the upsert-rebalance balance summary cross-joins two
+    # 1-row relations (global stats, median) onto the KC-row histogram
+    "similarity_ivf_upsert_rebalance",
 }
 
 #: Queries that run their own streaming jobs — planned separately.

@@ -86,6 +86,8 @@ QUERIES = [
     "tpch_q12_shipmode_priority",
     "tpch_q16_supplier_part_counts",
     "tpch_q21_waiting_suppliers",
+    "similarity_ivf_cell_split_fixpoint",
+    "similarity_ivf_upsert_rebalance",
 ]
 
 #: the full heavy-tier ORACLE list for the sf1 cross-engine gate
@@ -132,6 +134,8 @@ ORACLE_QUERIES = [
     "tpch_q16_supplier_part_counts", "tpch_q21_waiting_suppliers",
     "similarity_topk_filtered", "similarity_filtered_recall",
     "similarity_ivf_cell_split",
+    # r11 additions
+    "similarity_ivf_cell_split_fixpoint", "similarity_ivf_upsert_rebalance",
 ]
 
 
