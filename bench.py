@@ -150,14 +150,16 @@ HEADLINE = [
     "similarity_topk_filtered",
     "similarity_filtered_recall",
     "similarity_ivf_cell_split",
-    # round-11 tier (87 -> 92): the last TPC-H join shapes (derived
-    # shipping columns / partsupp — q_tpch2 header note) and the cell
-    # maintenance fixpoint pair
+    # round-11 tier (87 -> 94): the last TPC-H join shapes (derived
+    # shipping columns / partsupp — q_tpch2 header note), the cell
+    # maintenance fixpoint pair, and the rare-label filtered tier
     "tpch_q12_shipmode_priority",
     "tpch_q16_supplier_part_counts",
     "tpch_q21_waiting_suppliers",
     "similarity_ivf_cell_split_fixpoint",
     "similarity_ivf_upsert_rebalance",
+    "similarity_topk_filtered_rare",
+    "similarity_filtered_rare_recall",
 ]
 
 

@@ -67,3 +67,18 @@ def test_filtered_recall_floor(spark, sf_dir):
     # gated below the weakest measured value so probe-widening drift
     # fails CI, not the judge
     assert _mean_recall_e4(spark, sf_dir, "similarity_filtered_recall") >= 7800
+
+
+def test_filtered_rare_recall_floor(spark):
+    # the ~1%-selectivity rare-label tier (vec_id % 100) with
+    # selectivity-scaled widening (filter_widen): measured 1.00/1.00 at
+    # sf0.01/0.1 and 0.976 at sf1 (vs 0.665 with the base widen=2 —
+    # the starved-filter failure this tier exists to catch).  Gated at
+    # sf0.01: the sf0.001 query sample has near-empty same-rare-label
+    # truth sets, so the smallest meaningful sf is used.
+    assert (
+        _mean_recall_e4(
+            spark, "/root/testdata/sf0.01", "similarity_filtered_rare_recall"
+        )
+        >= 7500
+    )

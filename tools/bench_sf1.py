@@ -88,6 +88,8 @@ QUERIES = [
     "tpch_q21_waiting_suppliers",
     "similarity_ivf_cell_split_fixpoint",
     "similarity_ivf_upsert_rebalance",
+    "similarity_topk_filtered_rare",
+    "similarity_filtered_rare_recall",
 ]
 
 #: the full heavy-tier ORACLE list for the sf1 cross-engine gate
@@ -136,6 +138,7 @@ ORACLE_QUERIES = [
     "similarity_ivf_cell_split",
     # r11 additions
     "similarity_ivf_cell_split_fixpoint", "similarity_ivf_upsert_rebalance",
+    "similarity_topk_filtered_rare", "similarity_filtered_rare_recall",
 ]
 
 
@@ -160,6 +163,10 @@ QUADRATIC_WORK = {
     # 10x queries x growing per-query probe scan (widened probes x
     # sqrt-sized cells)
     "similarity_topk_filtered",
+    # the rare-label pair: same query/probe growth shape as the base
+    # filtered pair
+    "similarity_topk_filtered_rare",
+    "similarity_filtered_rare_recall",
 }
 
 #: Queries whose work grows ~n^1.5 (x~32 at 10x data): the all-pairs
