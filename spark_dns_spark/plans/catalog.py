@@ -565,6 +565,40 @@ _ROTATION_R10: dict[str, int] = {
     "kmeans_lloyd_cells": 6,
 }
 
+#: Round-11 rotation, layered over r4..r10 (later map wins).  NEW this
+#: round and auto-in-window by registration order: the cell-maintenance
+#: fixpoint pair and the rare-label filtered pair (q_similarity
+#: registers before the window cutoff).  NEW but registered past the
+#: cutoff: TPC-H Q12/Q16/Q21 — eight twice-green untouched entries
+#: rotate out, sliding the trio plus the r10-green TPC-H Q17/Q19 and
+#: two stale-green connector operators (zone-pushdown read, CIDR
+#: attribution) back into the window.  The IVF serve family whose
+#: oracle text changed this round (nprm empty-corpus guard, load_cents
+#: path) is already in-window at positions 20-31.  Everything rotated
+#: out stays on the full-catalog gate (ORACLE_FULL_rN) every round.
+_ROTATION_R11: dict[str, int] = {
+    # rotate OUT — r9-era PQ/index maintenance tier, green r9+r10
+    # untouched; family representatives staying in-window:
+    # similarity_pq_adc_recall + similarity_topk_ivfpq (the ADC serve
+    # algebra), similarity_ivf_upsert_rebalance (the upsert+maintain
+    # algebra), index_bm25_topk (postings consumers).  All remain on
+    # the full gate + bench + their pytest pins (test_pq_upsert.py,
+    # test_postings_upsert.py).
+    "index_postings_upsert": 6,
+    "similarity_pq_codes": 6,
+    "similarity_pq_upsert": 6,
+    "similarity_pq_drift": 6,
+    "quality_lm_bigram_score": 6,
+    # rotate OUT — green r4..r10 untouched; §2.5 window-function
+    # coverage keeps changelog_scd2_intervals in-window, the BPE
+    # family keeps vocab_bpe_apply on the full gate + bench, Q4's
+    # exists-subquery shape is superseded in-window by Q21's
+    # sole-late-supplier semi/anti chain (the strictly harder variant).
+    "events_cusum_drift": 6,
+    "vocab_bpe_merges": 6,
+    "tpch_q4_order_priority": 6,
+}
+
 
 def register(
     name: str,
@@ -643,7 +677,7 @@ def catalog() -> dict[str, Query]:
     order = {n: i for i, n in enumerate(_REGISTRY)}
     rotation = {
         **_ROTATION_R4, **_ROTATION_R6, **_ROTATION_R7, **_ROTATION_R8,
-        **_ROTATION_R9, **_ROTATION_R10,
+        **_ROTATION_R9, **_ROTATION_R10, **_ROTATION_R11,
     }
     for q in _REGISTRY.values():
         q.tier = rotation.get(q.name, q.tier)
