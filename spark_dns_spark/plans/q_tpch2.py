@@ -3,12 +3,14 @@
 The round-1..7 relational tier covered Q1/Q3/Q4/Q6/Q13/Q15/Q18/Q22;
 this module closes the remaining TPC-H query shapes.  The driver
 schema has no ``partsupp`` table and no
-``l_shipmode/l_commitdate/l_receiptdate`` columns; since r11,
-Q12/Q16/Q21 run on DETERMINISTICALLY DERIVED versions of those
-(identical integer arithmetic in both engines — see the Q12/16/21
-section header below), which leaves only the pure-partsupp-value
-queries (Q2/Q9/Q11/Q20 need ps_availqty/ps_supplycost economics that
-no existing column can stand in for) without a faithful adaptation.
+``l_shipmode/l_commitdate/l_receiptdate`` columns; since r11 ALL
+remaining queries run on DETERMINISTICALLY DERIVED versions of those
+(identical integer arithmetic in both engines): Q12/Q16/Q21 on the
+derived shipping columns + partsupp keys (first section header below),
+and Q2/Q9/Q11/Q20 on the derived partsupp ECONOMICS
+(availqty/supplycost — second section header).  With these, every
+TPC-H join shape Q1-Q22 has a catalog adaptation with an exact
+oracle.
 Each query follows the house
 conventions: every computed column aliased identically in both
 engines, money as EXACT INTEGERS end-to-end — per-row cents via
@@ -654,4 +656,299 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 / Q9 / Q11 / Q20 (r11 continuation): the partsupp-ECONOMICS
+# queries, completing all 22 TPC-H shapes.  The derived partsupp keys
+# (header note above) gain deterministic economics — identical integer
+# arithmetic in both engines:
+#   ps_availqty       = (ps_partkey*13 + ps_suppkey*7)  % 9999 + 1
+#   ps_supplycost_e4  = (ps_partkey*31 + ps_suppkey*17) % 90000 + 10000
+# (supply cost in the house 1e-4-dollar units: $1.0000-$9.9999).
+# Registered tier=6 — the r11 window evidence (WINDOW_TIMING_r11 /
+# GATE_REPRO_r11) pins the window that shipped; the in-window partsupp
+# representatives are Q12/Q16/Q21, and these four are covered by the
+# full-catalog gate, the sf1 gate, and the suite.
+# ---------------------------------------------------------------------------
+
+_PS_CTE = """
+partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+         (ps_partkey * 13 + ps_suppkey * 7) % 9999 + 1 AS ps_availqty,
+         (ps_partkey * 31 + ps_suppkey * 17) % 90000 + 10000
+           AS ps_supplycost_e4
+  FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+                        l_suppkey AS ps_suppkey FROM lineitem))"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp with economics (module section header)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    return ps.withColumn(
+        "ps_availqty",
+        (F.col("ps_partkey") * 13 + F.col("ps_suppkey") * 7) % 9999 + 1,
+    ).withColumn(
+        "ps_supplycost_e4",
+        (F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 90000
+        + 10000,
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    f"""
+WITH {_PS_CTE},
+elig AS MATERIALIZED (
+  -- two consumers (min agg + join-back); without the hint DuckDB
+  -- re-evaluates the partsupp distinct per consumer
+  SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost_e4,
+         s.s_acctbal, s.s_name, n.n_name
+  FROM partsupp ps
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE')
+SELECT e.s_acctbal, e.s_name, e.n_name, e.ps_partkey AS p_partkey,
+       p.p_brand, e.ps_supplycost_e4
+FROM elig e
+JOIN part p ON p.p_partkey = e.ps_partkey
+JOIN (SELECT ps_partkey, min(ps_supplycost_e4) AS mn
+      FROM elig GROUP BY ps_partkey) m
+  ON m.ps_partkey = e.ps_partkey AND e.ps_supplycost_e4 = m.mn
+WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type IN ('LARGE', 'STANDARD')
+""",
+    doc="TPC-H Q2: minimum-cost supplier per part within a region — "
+    "the correlated-scalar-MIN shape, decorrelated the way engines do "
+    "it: one grouped MIN over the eligible (partsupp x supplier x "
+    "region) relation joined back on (partkey, cost = min).  The "
+    "eligible relation is persisted (two consumers — the fan-out "
+    "lesson); nation/region broadcast; the part filters push to the "
+    "part scan.  s_acctbal is a raw-column pass-through (no float "
+    "arithmetic), so the double survives hash equality",
+    tags=("relational", "join", "agg", "subquery"),
+    tier=6,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20)
+        & F.col("p_type").isin("LARGE", "STANDARD")
+    )
+    elig = (
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "ps_partkey", "ps_supplycost_e4", "s_acctbal", "s_name",
+            "n_name",
+        )
+        .persist()
+    )
+    mins = elig.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost_e4").alias("mn")
+    ).withColumnRenamed("ps_partkey", "mn_partkey")
+    return (
+        elig.join(
+            mins,
+            (F.col("ps_partkey") == F.col("mn_partkey"))
+            & (F.col("ps_supplycost_e4") == F.col("mn")),
+        )
+        .join(p, F.col("p_partkey") == F.col("ps_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            "ps_supplycost_e4",
+        )
+    )
+
+
+@register(
+    "tpch_q9_product_type_profit",
+    f"""
+WITH {_PS_CTE}
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                - ps_supplycost_e4 * CAST(l_quantity AS BIGINT))
+            AS BIGINT) AS profit_e4,
+       count(*) AS n_items
+FROM part, supplier, lineitem, partsupp, orders, nation
+WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+  AND ps_partkey = l_partkey AND p_partkey = l_partkey
+  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+  AND p_name LIKE '%red%'
+GROUP BY n_name, o_year
+""",
+    doc="TPC-H Q9: product-type profit by nation and year — the "
+    "6-way join with a COMPOUND key edge (lineitem joins partsupp on "
+    "(partkey, suppkey) together).  Profit stays integer end-to-end: "
+    "revenue in e4 units minus supplycost_e4 x integer quantity.  The "
+    "p_name LIKE filter pushes to the part scan and prunes the fact "
+    "rows before the partsupp join; nation broadcasts",
+    tags=("relational", "join", "agg", "bench"),
+    tier=6,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    amount = _rev_e4() - F.col("ps_supplycost_e4") * F.col(
+        "l_quantity"
+    ).cast("bigint")
+    return (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .join(
+            ps,
+            (ps.ps_partkey == li.l_partkey)
+            & (ps.ps_suppkey == li.l_suppkey),
+        )
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            F.sum(amount).alias("profit_e4"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    f"""
+WITH {_PS_CTE},
+pv AS (
+  SELECT ps_partkey,
+         CAST(sum(ps_supplycost_e4 * ps_availqty) AS BIGINT) AS value_e4
+  FROM partsupp, supplier, nation
+  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_7'
+  GROUP BY ps_partkey),
+tot AS (SELECT CAST(sum(value_e4) AS BIGINT) AS t FROM pv)
+SELECT ps_partkey, value_e4 FROM pv, tot WHERE value_e4 * 1000 > t
+""",
+    doc="TPC-H Q11: important stock — per-part inventory value within "
+    "one nation, HAVING above a fraction of the GLOBAL total.  The "
+    "global scalar is a 1-row aggregate cross-joined (broadcast) onto "
+    "the per-part relation — the whitelisted single-row-broadcast "
+    "class — and the threshold compare is pure integer "
+    "(value x 1000 > total, no float fraction)",
+    tags=("relational", "join", "agg", "subquery"),
+    tier=6,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    pv = (
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                F.col("ps_supplycost_e4") * F.col("ps_availqty")
+            ).alias("value_e4")
+        )
+    )
+    tot = pv.agg(F.sum("value_e4").alias("t"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_e4") * 1000 > F.col("t"))
+        .select("ps_partkey", "value_e4")
+    )
+
+
+@register(
+    "tpch_q20_potential_promotion",
+    f"""
+WITH {_PS_CTE}
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_5'
+  AND s_suppkey IN (
+    SELECT ps_suppkey FROM partsupp
+    WHERE ps_partkey IN (SELECT p_partkey FROM part
+                         WHERE p_name LIKE 'red%')
+      AND 2 * ps_availqty > (
+        SELECT COALESCE(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT),
+                        0)
+        FROM lineitem
+        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'))
+""",
+    doc="TPC-H Q20: potential part promotion — the DOUBLE-NESTED semi "
+    "join with a correlated per-(part,supplier) shipped-quantity "
+    "threshold.  The Spark plan decorrelates: one grouped sum over the "
+    "date-filtered lineitem LEFT-joined to the part-filtered partsupp "
+    "(absent pairs coalesce to 0 shipped), integer threshold "
+    "2 x availqty > shipped, then a semi join onto the one-nation "
+    "supplier dim.  The oracle keeps the textbook nested-IN "
+    "formulation as an independent cross-check",
+    tags=("relational", "join", "semi", "subquery"),
+    tier=6,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    p_red = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("red")
+    ).select("p_partkey")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate")
+             >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate")
+               < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+    )
+    cand = (
+        ps.join(p_red, ps.ps_partkey == F.col("p_partkey"), "left_semi")
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+            "left",
+        )
+        .filter(
+            2 * F.col("ps_availqty") > F.coalesce(F.col("qty"), F.lit(0))
+        )
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_5"
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(cand, s.s_suppkey == cand.ps_suppkey, "left_semi")
+        .select("s_name", "n_name")
     )

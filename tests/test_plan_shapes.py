@@ -61,6 +61,9 @@ BNLJ_WHITELIST = {
     # same class: the upsert-rebalance balance summary cross-joins two
     # 1-row relations (global stats, median) onto the KC-row histogram
     "similarity_ivf_upsert_rebalance",
+    # 1-row global inventory total cross-joined onto the per-part value
+    # relation for the integer HAVING threshold — same class
+    "tpch_q11_important_stock",
 }
 
 #: Queries that run their own streaming jobs — planned separately.

@@ -90,6 +90,8 @@ QUERIES = [
     "similarity_ivf_upsert_rebalance",
     "similarity_topk_filtered_rare",
     "similarity_filtered_rare_recall",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
 ]
 
 #: the full heavy-tier ORACLE list for the sf1 cross-engine gate
@@ -139,6 +141,8 @@ ORACLE_QUERIES = [
     # r11 additions
     "similarity_ivf_cell_split_fixpoint", "similarity_ivf_upsert_rebalance",
     "similarity_topk_filtered_rare", "similarity_filtered_rare_recall",
+    "tpch_q2_min_cost_supplier", "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock", "tpch_q20_potential_promotion",
 ]
 
 

@@ -87,6 +87,9 @@ BNLJ_OK = {
     # same class: the upsert-rebalance balance summary cross-joins two
     # 1-row relations (global stats, median) onto the KC-row histogram
     "similarity_ivf_upsert_rebalance",
+    # 1-row global inventory total cross-joined onto the per-part value
+    # relation for the integer HAVING threshold — same class
+    "tpch_q11_important_stock",
 }
 
 
