@@ -166,6 +166,7 @@ HEADLINE = [
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
     "tpch_q20_potential_promotion",
+    "similarity_hybrid_rrf",
 ]
 
 

@@ -2005,3 +2005,80 @@ def similarity_filtered_rare_recall(
             F.expr("hits * 10000 div truth_n").alias("recall_e4"),
         )
     )
+
+
+# --- hybrid retrieval: reciprocal-rank fusion (r11 continuation) -------------
+
+#: RRF constant (Cormack et al.'s k=60, the universal default) and the
+#: integer scale: each source contributes floor(1e6 / (60 + rank)) —
+#: exact integer division in both engines, so fused scores hash-match
+#: without any float-sum hazard.
+RRF_K = 60
+RRF_SCALE = 1_000_000
+
+_RRF_SQL = f"""
+WITH ivfr AS (
+  SELECT query_id, neighbor_id, rank FROM ({_IVF_SQL})
+), lshr AS (
+  SELECT query_id, neighbor_id, rank FROM ({_LSH_SQL})
+), allr AS (
+  SELECT query_id, neighbor_id,
+         {RRF_SCALE} // ({RRF_K} + rank) AS contrib FROM ivfr
+  UNION ALL
+  SELECT query_id, neighbor_id,
+         {RRF_SCALE} // ({RRF_K} + rank) AS contrib FROM lshr
+), fused AS (
+  SELECT query_id, neighbor_id,
+         CAST(sum(contrib) AS BIGINT) AS rrf_e6,
+         CAST(count(*) AS BIGINT) AS n_sources
+  FROM allr GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, rrf_e6, n_sources, rank FROM (
+  SELECT query_id, neighbor_id, rrf_e6, n_sources,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_e6 DESC, neighbor_id) AS rank
+  FROM fused
+) WHERE rank <= {K}
+"""
+
+
+@register(
+    "similarity_hybrid_rrf",
+    _RRF_SQL,
+    doc="HYBRID retrieval via reciprocal-rank fusion — the production "
+    "pattern for combining heterogeneous retrievers (vector + lexical "
+    "/ two index families): each source's top-k contributes "
+    f"floor({RRF_SCALE}/({RRF_K}+rank)) and candidates are re-ranked "
+    "by the fused sum (Cormack et al. k=60).  Here the two stored-"
+    "index ANN families are fused — the IVF serve and the LSH serve "
+    "over the same query sample — so a neighbor found by either "
+    "family survives, and one found by both outranks single-source "
+    "hits (n_sources is emitted for accountability).  Scale shape: "
+    "fusion runs on the SERVES' outputs (|Q| x k rows each), never on "
+    "the corpus — union + one grouped sum + per-query top-k; the "
+    "integer contributions make the fused score hash-exact across "
+    "engines.  Registered tier 6 (window evidence already shipped); "
+    "covered by the full-catalog gate",
+    tags=("similarity", "retrieval", "fusion"),
+    tier=6,
+)
+def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ivfr = _ivf_topk(spark, sf_dir).select("query_id", "neighbor_id", "rank")
+    lshr = _lsh_topk(spark, sf_dir).select("query_id", "neighbor_id", "rank")
+    allr = ivfr.unionByName(lshr).select(
+        "query_id",
+        "neighbor_id",
+        F.expr(f"{RRF_SCALE} div ({RRF_K} + rank)").alias("contrib"),
+    )
+    fused = allr.groupBy("query_id", "neighbor_id").agg(
+        F.sum("contrib").alias("rrf_e6"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_e6").desc(), "neighbor_id"
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "neighbor_id", "rrf_e6", "n_sources", "rank")
+    )

@@ -92,6 +92,7 @@ QUERIES = [
     "similarity_filtered_rare_recall",
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_type_profit",
+    "similarity_hybrid_rrf",
 ]
 
 #: the full heavy-tier ORACLE list for the sf1 cross-engine gate
@@ -143,6 +144,7 @@ ORACLE_QUERIES = [
     "similarity_topk_filtered_rare", "similarity_filtered_rare_recall",
     "tpch_q2_min_cost_supplier", "tpch_q9_product_type_profit",
     "tpch_q11_important_stock", "tpch_q20_potential_promotion",
+    "similarity_hybrid_rrf",
 ]
 
 
@@ -171,6 +173,8 @@ QUADRATIC_WORK = {
     # filtered pair
     "similarity_topk_filtered_rare",
     "similarity_filtered_rare_recall",
+    # fuses two QMOD-sampled serves — inherits their growth class
+    "similarity_hybrid_rrf",
 }
 
 #: Queries whose work grows ~n^1.5 (x~32 at 10x data): the all-pairs
