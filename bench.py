@@ -167,6 +167,7 @@ HEADLINE = [
     "tpch_q11_important_stock",
     "tpch_q20_potential_promotion",
     "similarity_hybrid_rrf",
+    "retrieval_mmr_rerank",
 ]
 
 

@@ -2082,3 +2082,192 @@ def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= K)
         .select("query_id", "neighbor_id", "rrf_e6", "n_sources", "rank")
     )
+
+
+# --- MMR diversity re-ranking (r11 continuation) ------------------------------
+
+#: MMR selects MMR_SELECT of the serve's K-candidate shortlist; the
+#: relevance/diversity trade-off λ=0.7 is carried as the integer pair
+#: (7, 3) over e4-scaled scores — mmr = 7·rel_e4 − 3·max_sim_e4 —
+#: so every selection compares exact integers in both engines.
+MMR_SELECT = 5
+MMR_REL_W, MMR_DIV_W = 7, 3
+
+
+def _mmr_rounds_sql(rounds: int) -> str:
+    """Unrolled greedy MMR selection over CTEs ``base`` (query_id,
+    neighbor_id, rel_e4) and ``pair`` (query_id, a, b, sim_e4):
+    round 1 picks pure relevance, each later round picks the argmax of
+    7·rel − 3·(max sim to the already-selected set), ties to the
+    smaller neighbor_id — the same fixed-unroll pattern as the
+    cell-split fixpoint oracle."""
+    parts = [f"""
+, sel1 AS (
+  SELECT query_id, neighbor_id,
+         {MMR_REL_W} * rel_e4 AS mmr_score, 1 AS sel_rank
+  FROM (SELECT base.*,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel_e4 DESC, neighbor_id) AS rn
+        FROM base) WHERE rn = 1
+), selall1 AS MATERIALIZED (SELECT * FROM sel1)"""]
+    for t in range(2, rounds + 1):
+        parts.append(f"""
+, scored{t} AS (
+  SELECT r.query_id, r.neighbor_id,
+         {MMR_REL_W} * r.rel_e4 - {MMR_DIV_W} * max(p.sim_e4)
+           AS mmr_score
+  FROM base r
+  JOIN pair p ON p.query_id = r.query_id AND p.a = r.neighbor_id
+  JOIN selall{t - 1} s ON s.query_id = p.query_id
+                      AND s.neighbor_id = p.b
+  WHERE NOT EXISTS (SELECT 1 FROM selall{t - 1} x
+                    WHERE x.query_id = r.query_id
+                      AND x.neighbor_id = r.neighbor_id)
+  GROUP BY r.query_id, r.neighbor_id, r.rel_e4
+), sel{t} AS (
+  SELECT query_id, neighbor_id, mmr_score, {t} AS sel_rank FROM (
+    SELECT scored{t}.*,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY mmr_score DESC, neighbor_id) AS rn
+    FROM scored{t}) WHERE rn = 1
+), selall{t} AS MATERIALIZED (
+  SELECT * FROM selall{t - 1} UNION ALL SELECT * FROM sel{t})""")
+    parts.append(f"""
+SELECT query_id, neighbor_id, mmr_score, sel_rank FROM selall{rounds}
+""")
+    return "".join(parts)
+
+
+_MMR_SQL = (
+    f"""
+WITH base AS MATERIALIZED (
+  SELECT query_id, neighbor_id,
+         CAST(round(cosine * 10000) AS BIGINT) AS rel_e4
+  FROM ({_IVF_SQL})
+)"""
+    + f"""
+, nv AS (
+  SELECT vec_id, v, {sim.norm_sql("v")} AS nm
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+), pair AS MATERIALIZED (
+  SELECT b1.query_id, b1.neighbor_id AS a, b2.neighbor_id AS b,
+         CAST(round(round({sim.dot_sql("va.v", "vb.v")}
+                          / (va.nm * vb.nm), 4) * 10000) AS BIGINT)
+           AS sim_e4
+  FROM base b1
+  JOIN base b2 ON b2.query_id = b1.query_id
+              AND b2.neighbor_id <> b1.neighbor_id
+  JOIN nv va ON va.vec_id = b1.neighbor_id
+  JOIN nv vb ON vb.vec_id = b2.neighbor_id
+)"""
+    + _mmr_rounds_sql(MMR_SELECT)
+)
+
+
+@register(
+    "retrieval_mmr_rerank",
+    _MMR_SQL,
+    doc="MMR (maximal-marginal-relevance) DIVERSITY re-ranking — the "
+    "production post-retrieval step that stops a result page (or a "
+    "RAG context window) from being k near-copies of the same "
+    f"document: greedily select {MMR_SELECT} of the IVF serve's "
+    f"{K}-candidate shortlist, each pick maximizing 7*rel - 3*maxsim "
+    "to the already-picked set (λ=0.7 as an exact integer pair over "
+    "e4 cosines — both engines compare identical integers).  Scale "
+    "shape: everything past the serve is shortlist-sized — pairwise "
+    "sims are |Q| x k(k-1) rows and each greedy round is one grouped "
+    "max + one per-query top-1; the corpus is never touched again.  "
+    "The oracle unrolls the identical greedy rounds (the cell-split "
+    "fixpoint pattern); Spark builds the same fixed chain lazily over "
+    "a localCheckpoint'd base/pair (2^rounds plan growth stays on "
+    "leaf-sized plans).  Registered tier 6 (window evidence shipped)",
+    tags=("similarity", "retrieval", "rerank"),
+    tier=6,
+)
+def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _vectors(spark, sf_dir)
+    base = (
+        _ivf_topk(spark, sf_dir)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr("CAST(round(cosine * 10000) AS BIGINT)").alias("rel_e4"),
+        )
+        .localCheckpoint()  # leaf plan: the greedy chain references it 2^t times
+    )
+    b2 = base.select(
+        F.col("query_id").alias("q2"), F.col("neighbor_id").alias("b")
+    )
+    pairs = (
+        base.select("query_id", F.col("neighbor_id").alias("a"))
+        .join(
+            b2,
+            (F.col("query_id") == F.col("q2")) & (F.col("a") != F.col("b")),
+        )
+        .select("query_id", "a", "b")
+    )
+    pair = (
+        sim.attach_cosine(pairs, n, "a", "b")
+        .select(
+            "query_id",
+            "a",
+            "b",
+            F.expr(
+                "CAST(round(round(cosine, 4) * 10000) AS BIGINT)"
+            ).alias("sim_e4"),
+        )
+        .localCheckpoint()
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(
+        F.col("rel_e4").desc(), "neighbor_id"
+    )
+    selall = (
+        base.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.lit(MMR_REL_W) * F.col("rel_e4")).alias("mmr_score"),
+            F.lit(1).alias("sel_rank"),
+        )
+    )
+    for t in range(2, MMR_SELECT + 1):
+        sel_b = selall.select(
+            "query_id", F.col("neighbor_id").alias("b")
+        )
+        ms = (
+            pair.join(sel_b, ["query_id", "b"])
+            .groupBy("query_id", F.col("a").alias("neighbor_id"))
+            .agg(F.max("sim_e4").alias("maxsim_e4"))
+        )
+        scored = (
+            base.join(
+                selall.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_anti",
+            )
+            .join(ms, ["query_id", "neighbor_id"])
+            .select(
+                "query_id",
+                "neighbor_id",
+                (
+                    F.lit(MMR_REL_W) * F.col("rel_e4")
+                    - F.lit(MMR_DIV_W) * F.col("maxsim_e4")
+                ).alias("mmr_score"),
+            )
+        )
+        w_mmr = Window.partitionBy("query_id").orderBy(
+            F.col("mmr_score").desc(), "neighbor_id"
+        )
+        sel_t = (
+            scored.withColumn("rn", F.row_number().over(w_mmr))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "mmr_score",
+                F.lit(t).alias("sel_rank"),
+            )
+        )
+        selall = selall.unionByName(sel_t)
+    return selall

@@ -93,6 +93,7 @@ QUERIES = [
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_type_profit",
     "similarity_hybrid_rrf",
+    "retrieval_mmr_rerank",
 ]
 
 #: the full heavy-tier ORACLE list for the sf1 cross-engine gate
@@ -144,7 +145,7 @@ ORACLE_QUERIES = [
     "similarity_topk_filtered_rare", "similarity_filtered_rare_recall",
     "tpch_q2_min_cost_supplier", "tpch_q9_product_type_profit",
     "tpch_q11_important_stock", "tpch_q20_potential_promotion",
-    "similarity_hybrid_rrf",
+    "similarity_hybrid_rrf", "retrieval_mmr_rerank",
 ]
 
 
@@ -175,6 +176,8 @@ QUADRATIC_WORK = {
     "similarity_filtered_rare_recall",
     # fuses two QMOD-sampled serves — inherits their growth class
     "similarity_hybrid_rrf",
+    # shortlist post-processing on a QMOD-sampled serve — same class
+    "retrieval_mmr_rerank",
 }
 
 #: Queries whose work grows ~n^1.5 (x~32 at 10x data): the all-pairs
