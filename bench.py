@@ -160,8 +160,9 @@ HEADLINE = [
     "similarity_ivf_upsert_rebalance",
     "similarity_topk_filtered_rare",
     "similarity_filtered_rare_recall",
-    # round-11 continuation (94 -> 98): the partsupp-economics queries
-    # completing all 22 TPC-H shapes
+    # round-11 continuation (94 -> 100): the partsupp-economics queries
+    # completing all 22 TPC-H shapes, then the retrieval post-processing
+    # pair (hybrid RRF fusion, MMR diversity re-rank)
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
