@@ -169,6 +169,7 @@ HEADLINE = [
     "tpch_q20_potential_promotion",
     "similarity_hybrid_rrf",
     "retrieval_mmr_rerank",
+    "dedup_cluster_label_propagation",
 ]
 
 

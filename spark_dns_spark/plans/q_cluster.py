@@ -742,3 +742,97 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("coeff_milli"),
         )
     )
+
+
+# --- label-propagation communities (r11 continuation) -------------------------
+
+#: Synchronous LPA rounds — fixed so the oracle is a finite CTE chain
+#: (the kmeans ITERS convention); on the dup-clique-shaped near-dup
+#: graph the local majority stabilizes in 2-3 rounds.
+LPA_ITERS = 3
+
+
+def _lpa_rounds_sql(rounds: int) -> str:
+    parts = ["""
+, lbl0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges)"""]
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+, cnt{t} AS (
+  SELECT e.src, l.label, count(*) AS c
+  FROM edges e JOIN lbl{t - 1} l ON l.doc_id = e.dst
+  GROUP BY e.src, l.label
+), lbl{t} AS (
+  SELECT src AS doc_id, label FROM (
+    SELECT src, label,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY c DESC, label) AS rn
+    FROM cnt{t}) WHERE rn = 1
+)""")
+    parts.append(f"""
+SELECT doc_id, label AS community_id,
+       count(*) OVER (PARTITION BY label) AS community_size
+FROM lbl{rounds}
+""")
+    return "".join(parts)
+
+
+LPA_SQL = (
+    f"""
+WITH pairs AS ({MINHASH_LSH_SQL}
+), edges AS MATERIALIZED (
+  -- one consumer per LPA round — without the hint DuckDB re-runs the
+  -- whole LSH chain every round (the cell-split ext/post lesson)
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+)"""
+    + _lpa_rounds_sql(LPA_ITERS)
+)
+
+
+@register(
+    "dedup_cluster_label_propagation",
+    LPA_SQL,
+    doc="COMMUNITY detection by synchronous label propagation over the "
+    "LSH near-dup graph — the fourth graph-labeling formulation in "
+    "the catalog and the one that answers a different question than "
+    "the CC trio: LPA follows the LOCAL MAJORITY (each node adopts "
+    "its neighbors' most common label, ties to the smallest), so a "
+    "weak bridge between two dense dup cliques keeps them separate "
+    f"communities where CC merges them.  {LPA_ITERS} fixed synchronous "
+    "rounds (the kmeans-ITERS finite-oracle convention; dup cliques "
+    "stabilize in 2-3), deterministic by the (count DESC, label ASC) "
+    "tie-break.  Scale shape: each round is ONE edges-shuffle join + "
+    "one (node,label) count + one per-node top-1 — the vectors/text "
+    "never move, and rounds chain lazily (linear lineage, no "
+    "checkpoint needed)",
+    tags=("dedup", "cluster", "graph", "iterative"),
+    tier=6,
+)
+def dedup_cluster_label_propagation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    edges, labels, _pairs = _edges_and_labels(spark, sf_dir)
+    lbl = labels
+    for _ in range(LPA_ITERS):
+        cnt = (
+            edges.join(lbl, edges.dst == lbl.doc_id)
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("src").orderBy(F.col("c").desc(), "label")
+        lbl = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("doc_id"), "label")
+        )
+    sizes = lbl.groupBy("label").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return lbl.join(sizes, "label").select(
+        "doc_id",
+        F.col("label").alias("community_id"),
+        "community_size",
+    )

@@ -94,6 +94,7 @@ QUERIES = [
     "tpch_q9_product_type_profit",
     "similarity_hybrid_rrf",
     "retrieval_mmr_rerank",
+    "dedup_cluster_label_propagation",
 ]
 
 #: the full heavy-tier ORACLE list for the sf1 cross-engine gate
@@ -146,6 +147,7 @@ ORACLE_QUERIES = [
     "tpch_q2_min_cost_supplier", "tpch_q9_product_type_profit",
     "tpch_q11_important_stock", "tpch_q20_potential_promotion",
     "similarity_hybrid_rrf", "retrieval_mmr_rerank",
+    "dedup_cluster_label_propagation",
 ]
 
 
