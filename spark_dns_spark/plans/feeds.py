@@ -15,10 +15,12 @@ Some fqdns deliberately lack the trailing dot to exercise F6.
 from __future__ import annotations
 
 import atexit
+import hashlib
 import os
 import shutil
 import tempfile
 import threading
+import uuid
 from collections.abc import Callable
 from contextlib import contextmanager
 
@@ -49,19 +51,115 @@ _INDEX_LOCK = threading.Lock()
 _BUILD_LATCHES: dict = {}
 
 
-def cached_index_path(
-    cache: dict, sf_dir: str, source: str, build: Callable[[str], None]
-) -> str:
-    """Thread-safe process-lifetime cache of a built parquet index.
+#: Cross-process disk cache root (VERDICT-r11 item 1a): every fresh
+#: process used to retrain Lloyd/PQ from scratch because only the
+#: *pointer* to the built parquet lived in a process dict — the single
+#: biggest cost in the driver's correctness window (102 s of its 153 s
+#: before death was ANN index rebuilds).  Indexes are deterministic
+#: functions of (code, source parquet), so a content-keyed directory
+#: under a stable root is safe to reuse across processes.  Override
+#: with SPARK_GRAFT_INDEX_CACHE=<dir>; set it to "0" to disable the
+#: disk layer (in-process behavior is unchanged either way).
+_DISK_CACHE_ENV = "SPARK_GRAFT_INDEX_CACHE"
 
-    ``build(root)`` populates a fresh scratch dir; the cache key is
+#: marker file written inside a finished build BEFORE the atomic
+#: rename publishes it — a directory without it (a build killed
+#: mid-write, then orphaned) is never trusted.
+_DONE_MARKER = "_SPARK_GRAFT_INDEX_OK"
+
+_CODE_KEY: list = []  # 1-element memo (max .py mtime under the package)
+
+
+def _disk_cache_root() -> str | None:
+    v = os.environ.get(_DISK_CACHE_ENV)
+    if v == "0":
+        return None
+    return v or os.path.join(tempfile.gettempdir(), "spark_graft_idx")
+
+
+def _code_key() -> str:
+    """Cache-key component that invalidates disk entries whenever ANY
+    package source changes: index layout/geometry lives in code, so a
+    dir built by yesterday's code must never serve today's query.
+    Max mtime over the package's .py files is conservative (any edit
+    invalidates everything) but exactly right for the gate scenario:
+    the driver runs on an unchanged committed tree, so warm-up runs
+    and both driver children share the key."""
+    if not _CODE_KEY:
+        pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        mt = 0.0
+        for dirpath, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    try:
+                        mt = max(mt, os.path.getmtime(os.path.join(dirpath, f)))
+                    except OSError:
+                        pass
+        _CODE_KEY.append(f"{mt:.6f}")
+    return _CODE_KEY[0]
+
+
+def _disk_lookup(name: str, key: tuple) -> tuple[str | None, str | None]:
+    """(published_path_or_None, target_path_or_None) for the disk slot
+    of ``key``; (None, None) when the disk layer is disabled."""
+    root = _disk_cache_root()
+    if root is None:
+        return None, None
+    digest = hashlib.sha256(
+        repr((name, key, _code_key())).encode()
+    ).hexdigest()[:20]
+    target = os.path.join(root, name, digest)
+    if os.path.exists(os.path.join(target, _DONE_MARKER)):
+        return target, target
+    return None, target
+
+
+def _disk_publish(target: str, build: Callable[[str], None]) -> str:
+    """Build into a sibling temp dir, stamp the done-marker, then
+    atomically rename into the keyed slot.  Two processes building the
+    same key concurrently each do the (deterministic) work once; the
+    first rename wins and the loser adopts the winner's dir."""
+    parent = os.path.dirname(target)
+    os.makedirs(parent, exist_ok=True)
+    tmp = os.path.join(parent, f".build_{os.getpid()}_{uuid.uuid4().hex[:8]}")
+    os.makedirs(tmp)  # parity with scratch_dir: builders get a live dir
+    build(tmp)
+    with open(os.path.join(tmp, _DONE_MARKER), "w") as fh:
+        fh.write("ok\n")
+    try:
+        os.rename(tmp, target)
+        return target
+    except OSError:
+        if os.path.exists(os.path.join(target, _DONE_MARKER)):
+            shutil.rmtree(tmp, ignore_errors=True)
+            return target
+        # target exists but is NOT a finished publish (marker gone —
+        # e.g. manual tampering): it's garbage, replace it with ours
+        shutil.rmtree(target, ignore_errors=True)
+        os.rename(tmp, target)
+        return target
+
+
+def cached_index_path(
+    cache: dict,
+    sf_dir: str,
+    source: str,
+    build: Callable[[str], None],
+    name: str = "index",
+) -> str:
+    """Thread-safe cache of a built parquet index: process dict in
+    front, content-keyed disk directory behind it.
+
+    ``build(root)`` populates a fresh dir; the cache key is
     ``(sf_dir, mtime(source parquet))`` so a regenerated backing
-    dataset invalidates the cached index within the process instead of
-    silently serving stale postings (ADVICE r8).  Locking: the global
-    lock covers only dict lookups, so a cache HIT never waits on an
-    unrelated index's in-flight build; a per-(cache, key) latch makes
-    two simultaneous first calls produce ONE build and ONE scratch
-    dir."""
+    dataset invalidates the cached index instead of silently serving
+    stale postings (ADVICE r8); the DISK key additionally folds in the
+    package code mtime so a code edit can never serve a stale layout.
+    Locking: the global lock covers only dict lookups, so a cache HIT
+    never waits on an unrelated index's in-flight build; a per-(cache,
+    key) latch makes two simultaneous first calls produce ONE build.
+    ``name`` namespaces the disk slot (different indexes legitimately
+    share (sf_dir, mtime) keys)."""
     src = os.path.join(sf_dir, source)
     try:
         key = (sf_dir, os.path.getmtime(src))
@@ -77,8 +175,14 @@ def cached_index_path(
             hit = cache.get(key)
         if hit is not None:
             return hit
-        root = scratch_dir("idx_")
-        build(root)
+        published, target = _disk_lookup(name, key)
+        if published is not None:
+            root = published  # another process already built this index
+        elif target is not None:
+            root = _disk_publish(target, build)
+        else:  # disk layer disabled: process-lifetime scratch dir
+            root = scratch_dir("idx_")
+            build(root)
         with _INDEX_LOCK:
             cache[key] = root
             # Publish-then-drop: late arrivals hit the cache before ever

@@ -218,7 +218,8 @@ def minhash_index_path(spark: SparkSession, sf_dir: str) -> str:
     from spark_dns_spark.plans.feeds import cached_index_path  # noqa: PLC0415
 
     return cached_index_path(
-        _MINHASH_INDEX, sf_dir, "documents.parquet", build
+        _MINHASH_INDEX, sf_dir, "documents.parquet", build,
+        name="minhash",
     )
 
 

@@ -137,7 +137,8 @@ def postings_base_index_path(spark: SparkSession, sf_dir: str) -> str:
     from spark_dns_spark.plans.feeds import cached_index_path  # noqa: PLC0415
 
     return cached_index_path(
-        _POSTINGS_BASE_INDEX, sf_dir, "documents.parquet", build
+        _POSTINGS_BASE_INDEX, sf_dir, "documents.parquet", build,
+        name="postings_base",
     )
 
 

@@ -368,7 +368,9 @@ def pq_index_path(spark: SparkSession, sf_dir: str) -> str:
 
     from spark_dns_spark.plans.feeds import cached_index_path  # noqa: PLC0415
 
-    return cached_index_path(_PQ_INDEX, sf_dir, "embeddings.parquet", build)
+    return cached_index_path(
+        _PQ_INDEX, sf_dir, "embeddings.parquet", build, name="pq"
+    )
 
 
 def _load_books(spark: SparkSession, root: str) -> list[list[list[int]]]:
@@ -801,7 +803,8 @@ def pq_base_index_path(spark: SparkSession, sf_dir: str) -> str:
     from spark_dns_spark.plans.feeds import cached_index_path  # noqa: PLC0415
 
     return cached_index_path(
-        _PQ_BASE_INDEX, sf_dir, "embeddings.parquet", build
+        _PQ_BASE_INDEX, sf_dir, "embeddings.parquet", build,
+        name="pq_base",
     )
 
 

@@ -458,7 +458,9 @@ def ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
 
     from spark_dns_spark.plans.feeds import cached_index_path  # noqa: PLC0415
 
-    return cached_index_path(_IVF_INDEX, sf_dir, "embeddings.parquet", build)
+    return cached_index_path(
+        _IVF_INDEX, sf_dir, "embeddings.parquet", build, name="ivf"
+    )
 
 
 @register(
@@ -521,7 +523,8 @@ def ivf_base_index_path(spark: SparkSession, sf_dir: str) -> str:
     from spark_dns_spark.plans.feeds import cached_index_path  # noqa: PLC0415
 
     return cached_index_path(
-        _IVF_BASE_INDEX, sf_dir, "embeddings.parquet", build
+        _IVF_BASE_INDEX, sf_dir, "embeddings.parquet", build,
+        name="ivf_base",
     )
 
 
