@@ -35,7 +35,13 @@ class Query:
     #: reference-core + newest queries checked while pushing redundant
     #: shapes (extra TPC-H, duplicate formulations green in past rounds)
     #: past the window.  Within a tier, registration order rules.
-    tier: int = 5
+    #: Values: 5 = window head; TIER_WINDOW_TAIL (5.5) = inside the
+    #: window but deliberately LAST — the r11 gate died mid-window in
+    #: the ANN tier and forfeited all the cheap evidence ordered after
+    #: it, so the expensive index-backed entries now sit at the tail
+    #: where a death forfeits the least (VERDICT-r11 item 1b); 6 = out
+    #: of the window (full-catalog gate + bench only).
+    tier: float = 5
 
 
 _REGISTRY: dict[str, Query] = {}
@@ -599,6 +605,48 @@ _ROTATION_R11: dict[str, int] = {
     "tpch_q4_order_priority": 6,
 }
 
+#: Inside the driver's window but ordered LAST (see Query.tier).
+TIER_WINDOW_TAIL = 5.5
+
+#: Round-12 rotation, layered over r4..r11 (later map wins).  VERDICT
+#: r11 item 1: the gate died at window slot 35/50 inside a 16-entry
+#: ANN tier that sat in the MIDDLE of the window, forfeiting the ten
+#: TPC-H entries behind it.  Three-part fix: (a) the index caches are
+#: now cross-process disk-backed (feeds.cached_index_path), (b) every
+#: in-window ANN entry moves to TIER_WINDOW_TAIL so a death there
+#: forfeits nothing cheap, and (c) the ANN share slims to family
+#: representatives — twice-green maintenance variants rotate out (all
+#: stay on the full-catalog gate ORACLE_FULL_rN + bench every round).
+_ROTATION_R12: dict[str, float] = {
+    # rotate OUT — ANN maintenance/metric variants whose algebra an
+    # in-window representative still composes end-to-end:
+    # similarity_ivf_upsert_rebalance runs upsert + cell-balance +
+    # split-fixpoint in ONE entry (reps for ivf_upsert, cell_balance,
+    # cell_split, cell_split_fixpoint); the rare-filtered pair is the
+    # strictly harder filtered serve (reps for topk_filtered +
+    # filtered_recall); the ivfpq pair composes the ADC algebra (rep
+    # for pq_adc_recall); the range pair stays pytest-pinned
+    # (test_ann_recall_gate) + full-gate + benched.
+    "similarity_ivf_upsert": 6,
+    "similarity_range_ivf": 6,
+    "similarity_range_recall": 6,
+    "similarity_ivf_cell_balance": 6,
+    "similarity_ivf_cell_split": 6,
+    "similarity_ivf_cell_split_fixpoint": 6,
+    "similarity_topk_filtered": 6,
+    "similarity_filtered_recall": 6,
+    "similarity_pq_adc_recall": 6,
+    # move to the window TAIL — the retained ANN representatives (all
+    # index-backed, so the expensive slots run after the cheap §2
+    # evidence is already collected):
+    "similarity_ivf_recall": TIER_WINDOW_TAIL,
+    "similarity_ivf_upsert_rebalance": TIER_WINDOW_TAIL,
+    "similarity_topk_filtered_rare": TIER_WINDOW_TAIL,
+    "similarity_filtered_rare_recall": TIER_WINDOW_TAIL,
+    "similarity_topk_ivfpq": TIER_WINDOW_TAIL,
+    "similarity_ivfpq_recall": TIER_WINDOW_TAIL,
+}
+
 
 def register(
     name: str,
@@ -677,7 +725,7 @@ def catalog() -> dict[str, Query]:
     order = {n: i for i, n in enumerate(_REGISTRY)}
     rotation = {
         **_ROTATION_R4, **_ROTATION_R6, **_ROTATION_R7, **_ROTATION_R8,
-        **_ROTATION_R9, **_ROTATION_R10, **_ROTATION_R11,
+        **_ROTATION_R9, **_ROTATION_R10, **_ROTATION_R11, **_ROTATION_R12,
     }
     for q in _REGISTRY.values():
         q.tier = rotation.get(q.name, q.tier)
