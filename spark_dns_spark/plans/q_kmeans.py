@@ -224,8 +224,13 @@ def cells_udf(cents: list[list[int]], kk: int):
 #: Per-worker codebook cache for the large-KC path: keyed by parquet
 #: directory path.  Index roots are content-keyed (feeds.cached_index_path
 #: embeds the source mtime), so a rebuilt index gets a NEW path and a
-#: stale cache entry can never serve a current query.
+#: stale cache entry can never serve a current query.  Bounded to the
+#: most recent few entries (ADVICE r11): a rebuilt index gets a FRESH
+#: path, so evicted stale paths can never be re-queried — an unbounded
+#: dict would accumulate full (KC, DIM) int64 matrices on long-lived
+#: executors.
 _CB_CACHE: dict[str, "np.ndarray"] = {}
+_CB_CACHE_MAX = 4
 
 
 def _load_cb(path: str) -> "np.ndarray":
@@ -246,6 +251,8 @@ def _load_cb(path: str) -> "np.ndarray":
             .sort_values("cell")
         )
         cb = np.stack(t["cv"].to_numpy()).astype(np.int64)
+        while len(_CB_CACHE) >= _CB_CACHE_MAX:  # FIFO: stale paths are dead
+            _CB_CACHE.pop(next(iter(_CB_CACHE)))
         _CB_CACHE[path] = cb
     return cb
 

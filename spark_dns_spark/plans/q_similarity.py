@@ -1305,9 +1305,10 @@ def similarity_ivf_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spill has IVF_ASSIGN*... demote targets available, which holds for
     # n >= 2*IVF_ASSIGN; testdata starts far above (sf0.001 ⇒ 600).
     kc = ivf_kc(n_total)
-    assert n_total >= 2 * IVF_ASSIGN, (
-        f"cell split needs >= {2 * IVF_ASSIGN} vectors, got {n_total}"
-    )
+    if n_total < 2 * IVF_ASSIGN:  # not assert: stripped under -O
+        raise ValueError(
+            f"cell split needs >= {2 * IVF_ASSIGN} vectors, got {n_total}"
+        )
     cap = (CAP_NUM * IVF_ASSIGN * n_total + CAP_DEN * kc - 1) // (
         CAP_DEN * kc
     )
@@ -1437,7 +1438,7 @@ LEFT JOIN st0 b ON b.vec_id = s.vec_id AND b.cell = s.cell
 )
 
 
-def _split_to_fixpoint(spark, q, cents, st, cap):
+def _split_to_fixpoint(spark, q, cents, st, cap, rounds_max=None):
     """Iterate spill->demote rounds until no cell exceeds ``cap``.
 
     ``st`` is the postings table (vec_id, cell, d2); ``q`` the quantized
@@ -1445,9 +1446,14 @@ def _split_to_fixpoint(spark, q, cents, st, cap):
     spilled vectors — delta-proportional, like the one-round operator).
     Per-vector high-water slots (``hw``) guarantee a vector's demote
     targets never collide with any posting it already holds.  Returns
-    (final postings, rounds used); raises past SPLIT_ROUNDS_MAX —
-    measured fixpoints are 1-4 rounds, so hitting 6 means the cap/ext
-    geometry broke, not a big corpus."""
+    (final postings, rounds used).  A corpus converging on exactly the
+    ``rounds_max``-th move IS a fixpoint (the oracle unrolls that many
+    move rounds and returns it — ADVICE r11); only state still
+    spilling after ``rounds_max`` moves raises.  Measured fixpoints
+    are 1-4 rounds, so exhausting 6 means the cap/ext geometry broke,
+    not a big corpus."""
+    if rounds_max is None:
+        rounds_max = SPLIT_ROUNDS_MAX
     total = st.count()
     hw = None  # (vec_id, hw) for vectors that have ever spilled
     # Eager localCheckpoint, not persist: each round's state references
@@ -1458,7 +1464,7 @@ def _split_to_fixpoint(spark, q, cents, st, cap):
     # by release_all_caches after the result is consumed (it unpersists
     # surviving RDD blocks — the iterative-cluster-query pattern).
     st = st.localCheckpoint()
-    for rnd in range(SPLIT_ROUNDS_MAX):
+    for rnd in range(rounds_max):
         crn = st.withColumn(
             "crn",
             F.row_number().over(
@@ -1511,10 +1517,11 @@ def _split_to_fixpoint(spark, q, cents, st, cap):
         kept = crn.filter(F.col("crn") <= cap).select("vec_id", "cell", "d2")
         new_st = kept.unionByName(moved).localCheckpoint()  # eager
         n_new = new_st.count()
-        assert n_new == total, (
-            f"posting conservation broken in round {rnd}: {n_new} != "
-            f"{total} — a demote slot exceeded SPLIT_EXT_DEPTH"
-        )
+        if n_new != total:  # not assert: stripped under -O (ADVICE r11)
+            raise RuntimeError(
+                f"posting conservation broken in round {rnd}: {n_new} != "
+                f"{total} — a demote slot exceeded SPLIT_EXT_DEPTH"
+            )
         cnts = sp.groupBy("vec_id").agg(F.count(F.lit(1)).alias("ns"))
         hw_new = hwj.join(cnts, "vec_id").select(
             "vec_id", (F.col("hw") + F.col("ns")).alias("hw")
@@ -1526,8 +1533,24 @@ def _split_to_fixpoint(spark, q, cents, st, cap):
         ).localCheckpoint()  # eager — same plan-truncation reason
         sp.unpersist()
         st = new_st
+    # The loop is check-then-move, so after rounds_max moves one final
+    # check decides: a corpus converging on exactly the last move is a
+    # fixpoint (the oracle unrolls that many move rounds and returns
+    # it — ADVICE r11); only still-spilling state is an error.
+    spilled = (
+        st.withColumn(
+            "crn",
+            F.row_number().over(
+                Window.partitionBy("cell").orderBy("d2", "vec_id")
+            ),
+        )
+        .filter(F.col("crn") > cap)
+        .count()
+    )
+    if spilled == 0:
+        return st, rounds_max
     raise RuntimeError(
-        f"cell split did not reach fixpoint in {SPLIT_ROUNDS_MAX} rounds "
+        f"cell split did not reach fixpoint in {rounds_max} rounds "
         "(measured corpora need 1-4) — cap/ext geometry bug, not scale"
     )
 

@@ -55,6 +55,12 @@ def ref_fixpoint(post: pd.DataFrame, ext: pd.DataFrame, cap: int,
             [kept, pd.DataFrame(rows, columns=["vec_id", "cell", "d2"])],
             ignore_index=True,
         )
+    # check-then-move boundary (ADVICE r11): converging on exactly the
+    # last move is a fixpoint — one final spill check decides
+    st_ = st_.sort_values(["cell", "d2", "vec_id"], kind="stable")
+    st_["crn"] = st_.groupby("cell").cumcount() + 1
+    if not len(st_[st_.crn > cap]):
+        return st_[["vec_id", "cell", "d2"]], max_rounds
     raise AssertionError("no fixpoint within max_rounds")
 
 
@@ -157,3 +163,47 @@ def test_catalog_upsert_rebalance_is_bounded(spark, sf_dir):
     assert (pdf.max_sz <= pdf.cap_sz).all()
     # skew itself bounded by the cap/median ratio the cap implies
     assert (pdf.skew_e4 <= pdf.cap_sz * 10000 // pdf.median_sz).all()
+
+
+def test_ref_boundary_exact_last_move_is_fixpoint():
+    """ADVICE r11 off-by-one: a corpus converging on exactly the
+    max_rounds-th move must RETURN (the SQL oracle unrolls that many
+    move rounds and returns the balanced result), not raise."""
+    n, kc = 40, 20
+    vecs = np.tile(np.arange(8, dtype=np.int64), (n, 1))
+    post, ext = make_instance(vecs, kc)
+    cap = cap_for(n, kc)
+    _, rounds = ref_fixpoint(post, ext, cap)
+    assert rounds >= 2
+    fin, r2 = ref_fixpoint(post, ext, cap, max_rounds=rounds)
+    assert r2 == rounds
+    check_invariants(post, fin, cap)
+    with pytest.raises(AssertionError, match="no fixpoint"):
+        ref_fixpoint(post, ext, cap, max_rounds=rounds - 1)
+
+
+def test_spark_boundary_exact_last_move_is_fixpoint(spark, sf_dir):
+    """The Spark implementation has the same boundary semantics: with
+    rounds_max pinned to the measured fixpoint it returns the same
+    balanced state; one fewer raises."""
+    from spark_dns_spark.plans import q_kmeans as km
+    from spark_dns_spark.session import load_table
+
+    root = qs.ivf_index_path(spark, sf_dir)
+    cents = qs.load_cents(spark, f"{root}/cents")
+    n_total = load_table(spark, sf_dir, "embeddings").count()
+    cap = cap_for(n_total, qs.ivf_kc(n_total))
+    st0 = spark.read.parquet(f"{root}/asg").select("vec_id", "cell", "d2")
+    q = km.quantize(qs._vectors(spark, sf_dir).select("vec_id", "v"))
+    fin, rounds = qs._split_to_fixpoint(spark, q, cents, st0, cap)
+    want = sorted(map(tuple, fin.select("vec_id", "cell").collect()))
+    fin2, r2 = qs._split_to_fixpoint(
+        spark, q, cents, st0, cap, rounds_max=rounds
+    )
+    assert r2 == rounds
+    assert sorted(map(tuple, fin2.select("vec_id", "cell").collect())) == want
+    if rounds >= 1:
+        with pytest.raises(RuntimeError, match="did not reach fixpoint"):
+            qs._split_to_fixpoint(
+                spark, q, cents, st0, cap, rounds_max=rounds - 1
+            )

@@ -83,8 +83,12 @@ def child_main(sf_dir: str, n: int, out_path: str) -> int:
 
     results: dict[str, dict] = {}  # buffered — only flushed at the end
     for name in window:
+        # checked: 'oracle' = cross-engine hash ran; 'rows-only' = no
+        # oracle exists, the row collect alone is the check (ADVICE
+        # r11: the sentinel used to overload err and read as a
+        # verified hash match in the artifact).
         rec = {"rows_match": False, "schema_match": False,
-               "hash_match": False, "err": None}
+               "hash_match": False, "checked": "oracle", "err": None}
         try:
             sdf = qs[name](spark, sf_dir)
             scols, srows = _pandas_rows(sdf.toPandas())
@@ -98,7 +102,7 @@ def child_main(sf_dir: str, n: int, out_path: str) -> int:
                     and table_hash(srows, scols) == table_hash(drows, dcols))
             else:
                 rec.update(rows_match=True, schema_match=True,
-                           hash_match=True, err="rows-only")
+                           hash_match=True, checked="rows-only")
             rec["spark_rows"] = len(srows)
         except Exception as e:  # buffer the failure, keep going
             rec["err"] = f"{type(e).__name__}: {e}"[:300]
