@@ -208,6 +208,10 @@ def main() -> None:
 
     spark.range(256).repartition(32).select(_warm("id")).count()
 
+    calib = _calibrate(spark)
+    print(f"# calib {calib['version']}: {calib['sec']}s "
+          f"{calib['parts']}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     count_only: dict[str, float] = {}
     skipped: list[str] = []
@@ -244,6 +248,7 @@ def main() -> None:
         "queries": timings,
         "count_only": count_only,
         "sf": sf,
+        "calib": calib,
     }
     if skipped:
         detail["skipped"] = skipped
@@ -277,8 +282,61 @@ def main() -> None:
         "n_errors": len(errors),
         "n_skipped": len(skipped),
         "detail_file": detail_path.name,
+        "calib": calib,
     }
     print(json.dumps(out))
+
+
+def _calibrate(spark) -> dict:
+    """Host-speed calibration probe (VERDICT r11 item 2): a tiny FIXED
+    workload — data generated in-memory, no parquet, no scale factor —
+    timed before the headline loop and emitted as ``calib`` in every
+    bench artifact.  Cross-round comparisons on drifting shared hosts
+    divide by the calib ratio instead of re-running old code (the r11
+    A/B replay measured a uniform ~1.25x host drift; this makes that a
+    one-division lookup).  Three parts cover the engine's dominant cost
+    profiles (shuffle agg, window, join); min-of-3 each.  Only compare
+    across identical ``version`` values — any change to the workload
+    bumps it."""
+    from pyspark.sql import Window
+
+    probes = {
+        "agg": lambda: spark.range(2_000_000)
+        .groupBy((F.col("id") % 1000).alias("k"))
+        .agg(F.sum("id").alias("s"), F.count(F.lit(1)).alias("c"))
+        .select(F.bit_xor(F.xxhash64("k", "s", "c")))
+        .collect(),
+        "window": lambda: spark.range(500_000)
+        .withColumn("k", F.col("id") % 100)
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("k").orderBy("id")),
+        )
+        .select(F.bit_xor(F.xxhash64("rn")))
+        .collect(),
+        "join": lambda: spark.range(1_000_000)
+        .withColumn("k", F.col("id") % 100_000)
+        .join(
+            spark.range(100_000).withColumnRenamed("id", "k"), "k"
+        )
+        .select(F.bit_xor(F.xxhash64("k", "id")))
+        .collect(),
+    }
+    parts: dict[str, float] = {}
+    for pname, run in probes.items():
+        run()  # untimed warm pass: codegen/JIT belongs to the session
+        best = None
+        for _ in range(3):
+            t0 = time.monotonic()
+            run()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        parts[pname] = round(best, 3)
+    return {
+        "version": "c1",
+        "sec": round(sum(parts.values()), 3),
+        "parts": parts,
+    }
 
 
 def _time_query(spark, sf_dir, name, fn, timings, count_only) -> None:
