@@ -2297,3 +2297,122 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         selall = selall.unionByName(sel_t)
     return selall
+
+
+# --- upserted-index serve freshness (VERDICT r11 item 4) ---------------------
+
+_UPSERT_SERVE_SQL = (
+    _BASE_CTE
+    + f"""
+, qa AS (
+  SELECT vec_id, [{km.Q_COLS_SQL}] AS qv FROM e
+), q AS (
+  SELECT * FROM qa WHERE vec_id % {UP_MOD} <> {UP_REM}
+)"""
+    + _KPRM_CTE
+    + _IVF_CENTS_SQL
+    + f"""
+, nprm AS (
+  SELECT greatest({NPROBE_MIN},
+                  CAST(ceil(log2(greatest(count(*), 2))) AS BIGINT)) AS np
+  FROM qa
+), asgall AS (
+  SELECT vec_id, cell FROM (
+    SELECT qa.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY qa.vec_id
+             ORDER BY {km.dist_sql("qa.qv", "c.cv")} ASC, c.cell) AS rn
+    FROM qa, {_IVF_CENTS_CTE} c
+  ) WHERE rn <= {IVF_ASSIGN}
+), probes AS (
+  SELECT query_id, cell FROM (
+    SELECT qs.vec_id AS query_id, c.cell,
+           row_number() OVER (
+             PARTITION BY qs.vec_id
+             ORDER BY {km.dist_sql("qs.qv", "c.cv")} ASC, c.cell) AS rn
+    FROM (SELECT * FROM qa WHERE vec_id % {QMOD} = 0) qs,
+         {_IVF_CENTS_CTE} c
+  ) WHERE rn <= (SELECT np FROM nprm)
+), cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN asgall a ON a.cell = p.cell AND a.vec_id <> p.query_id
+)
+"""
+    + _scored_topk_sql("").replace(
+        "SELECT query_id, neighbor_id, cosine, rank FROM (",
+        ", srv AS (\nSELECT query_id, neighbor_id, cosine, rank FROM (",
+        1,
+    )
+    + f"""
+)
+SELECT query_id, neighbor_id, cosine, rank,
+       CASE WHEN neighbor_id % {UP_MOD} = {UP_REM} THEN 1 ELSE 0 END
+         AS neighbor_is_new
+FROM srv
+"""
+)
+
+
+@register(
+    "similarity_upsert_serve_fresh",
+    _UPSERT_SERVE_SQL,
+    doc="SERVE-OUTPUT freshness for the incrementally maintained index "
+    "(VERDICT r11 item 4): top-k served from the UPSERTED index — the "
+    "stored base-corpus centroids + the stored base postings + the "
+    f"encode-only delta batch (vec_id%{UP_MOD}=={UP_REM}) appended — "
+    "must equal the serve against a full posting rebuild over the same "
+    "model state.  similarity_ivf_upsert proves the POSTINGS equal a "
+    "from-scratch assign-all; this entry closes the loop at the query "
+    "output: the oracle trains on the base, assigns EVERYTHING in one "
+    "pass (the rebuild), probes, and serves — hash-equality means a "
+    "freshly upserted document is immediately findable and ranked "
+    "identically to a rebuilt index (neighbor_is_new flags the served "
+    "delta hits for accountability).  Probe width derives from the "
+    "POST-upsert corpus size (the index now holds n vectors), cell "
+    "count from the stored model (trained at base size)",
+    tags=("similarity", "ivf", "incremental", "metric"),
+    tier=5.5,
+)
+def similarity_upsert_serve_fresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    n = _vectors(spark, sf_dir)
+    root = ivf_base_index_path(spark, sf_dir)
+    cents = load_cents(spark, f"{root}/cents")
+    flag = (
+        (F.col("neighbor_id") % UP_MOD == UP_REM).cast("int")
+        .alias("neighbor_is_new")
+    )
+    if not cents:
+        return _scored_topk(
+            n, n.select(F.col("vec_id").alias("query_id")).limit(0).select(
+                "query_id", F.col("query_id").alias("neighbor_id")
+            )
+        ).select("query_id", "neighbor_id", "cosine", "rank", flag)
+    # merged postings = stored base postings + encode-only delta (the
+    # similarity_ivf_upsert algebra): batch cost proportional to |delta|
+    base = spark.read.parquet(f"{root}/asg").select("vec_id", "cell")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qd = km.quantize(
+        e.filter((F.col("vec_id") % UP_MOD) == UP_REM).select("vec_id", "v")
+    )
+    merged = base.unionByName(
+        _nearest_cells(qd, cents, IVF_ASSIGN)
+    ).withColumnRenamed("vec_id", "neighbor_id")
+    qq = km.quantize(
+        n.filter(F.col("vec_id") % QMOD == 0).select("vec_id", "v")
+    )
+    probes = _nearest_cells(qq, cents, nprobe(n.count())).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    cand = (
+        probes.join(merged, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    return _scored_topk(n, cand).select(
+        "query_id", "neighbor_id", "cosine", "rank", flag
+    )
