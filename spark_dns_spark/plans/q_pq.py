@@ -1271,3 +1271,121 @@ def similarity_filtered_ivfpq_recall(
             F.expr("hits * 10000 div truth_n").alias("recall_e4"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused filtered retrieval: the production RAG serving shape
+# (VERDICT r11 item 5) — filter -> retrieve (two families) -> RRF-fuse
+# -> MMR-diversify, all at the ~1%-selectivity rare tier.
+# ---------------------------------------------------------------------------
+
+_FUSED_MMR_SQL = (
+    f"""
+WITH r1 AS (
+  SELECT query_id, neighbor_id, rank FROM ({qs._RARE_SQL})
+), r2 AS (
+  SELECT query_id, neighbor_id, rank FROM ({_FILT_IVFPQ_SQL})
+), allr AS (
+  SELECT query_id, neighbor_id,
+         {qs.RRF_SCALE} // ({qs.RRF_K} + rank) AS contrib FROM r1
+  UNION ALL
+  SELECT query_id, neighbor_id,
+         {qs.RRF_SCALE} // ({qs.RRF_K} + rank) AS contrib FROM r2
+), fusedt AS (
+  SELECT query_id, neighbor_id,
+         CAST(sum(contrib) AS BIGINT) AS rrf_e6
+  FROM allr GROUP BY query_id, neighbor_id
+), shortl AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rrf_e6 DESC, neighbor_id) AS rank
+    FROM fusedt
+  ) WHERE rank <= {qs.K}
+), nv AS (
+  SELECT vec_id, v, {qs.sim.norm_sql("v")} AS nm
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+), base AS MATERIALIZED (
+  SELECT s.query_id, s.neighbor_id,
+         CAST(round(round({qs.sim.dot_sql("va.v", "vb.v")}
+                          / (va.nm * vb.nm), 4) * 10000) AS BIGINT)
+           AS rel_e4
+  FROM shortl s
+  JOIN nv va ON va.vec_id = s.query_id
+  JOIN nv vb ON vb.vec_id = s.neighbor_id
+), pair AS MATERIALIZED (
+  SELECT b1.query_id, b1.neighbor_id AS a, b2.neighbor_id AS b,
+         CAST(round(round({qs.sim.dot_sql("va.v", "vb.v")}
+                          / (va.nm * vb.nm), 4) * 10000) AS BIGINT)
+           AS sim_e4
+  FROM base b1
+  JOIN base b2 ON b2.query_id = b1.query_id
+              AND b2.neighbor_id <> b1.neighbor_id
+  JOIN nv va ON va.vec_id = b1.neighbor_id
+  JOIN nv vb ON vb.vec_id = b2.neighbor_id
+)"""
+    + qs._mmr_rounds_sql(qs.MMR_SELECT)
+)
+
+
+@register(
+    "retrieval_filtered_fused_mmr",
+    _FUSED_MMR_SQL,
+    doc="the full production RAG serving pipeline in ONE entry "
+    "(VERDICT r11 item 5): FILTER (the ~1%-selectivity rare label) -> "
+    "RETRIEVE from two stored-index families (the widened-probe "
+    "filtered IVF serve and the filtered IVF-PQ serve) -> FUSE by "
+    "reciprocal-rank (Cormack k=60, exact integer contributions) -> "
+    f"DIVERSIFY the fused top-{qs.K} shortlist with greedy MMR "
+    f"(select {qs.MMR_SELECT}, λ=0.7 as the integer pair 7/3 over e4 "
+    "cosines; relevance is the exact cosine recomputed on the "
+    "shortlist, so fusion rank and MMR relevance stay on one scale).  "
+    "Scale shape: both retrievers are index-served with label prune "
+    "at the postings join; fusion runs on their OUTPUTS (|Q| x k rows "
+    "each); everything past the fuse is shortlist-sized (|Q| x k(k-1) "
+    "pairs, " f"{qs.MMR_SELECT - 1} greedy rounds over a "
+    "localCheckpoint'd base) — the corpus is touched only through the "
+    "indexes.  Oracle unrolls the identical greedy rounds",
+    tags=("similarity", "retrieval", "fusion", "rerank", "filtered"),
+    tier=5.5,
+)
+def retrieval_filtered_fused_mmr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    n = qs._vectors(spark, sf_dir)
+    r1 = _filtered_rare_topk_ref(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    r2 = _filtered_ivfpq_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    allr = r1.unionByName(r2).select(
+        "query_id",
+        "neighbor_id",
+        F.expr(f"{qs.RRF_SCALE} div ({qs.RRF_K} + rank)").alias("contrib"),
+    )
+    fused = allr.groupBy("query_id", "neighbor_id").agg(
+        F.sum("contrib").alias("rrf_e6")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_e6").desc(), "neighbor_id"
+    )
+    shortl = (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= qs.K)
+        .select("query_id", "neighbor_id")
+    )
+    base = qs.sim.attach_cosine(shortl, n, "query_id", "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        F.expr("CAST(round(round(cosine, 4) * 10000) AS BIGINT)").alias(
+            "rel_e4"
+        ),
+    )
+    return qs._mmr_greedy(n, base)
+
+
+def _filtered_rare_topk_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thin alias so the fused entry reads as its pipeline stages; the
+    serve itself lives with the IVF family in q_similarity."""
+    return qs._filtered_rare_topk(spark, sf_dir)

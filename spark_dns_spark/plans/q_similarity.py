@@ -2212,15 +2212,24 @@ WITH base AS MATERIALIZED (
 )
 def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _vectors(spark, sf_dir)
-    base = (
-        _ivf_topk(spark, sf_dir)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.expr("CAST(round(cosine * 10000) AS BIGINT)").alias("rel_e4"),
-        )
-        .localCheckpoint()  # leaf plan: the greedy chain references it 2^t times
+    base = _ivf_topk(spark, sf_dir).select(
+        "query_id",
+        "neighbor_id",
+        F.expr("CAST(round(cosine * 10000) AS BIGINT)").alias("rel_e4"),
     )
+    return _mmr_greedy(n, base)
+
+
+def _mmr_greedy(n: DataFrame, base: DataFrame) -> DataFrame:
+    """Greedy MMR selection over a shortlist ``base`` (query_id,
+    neighbor_id, rel_e4) — the shared engine behind the MMR entries
+    (the fused filtered retrieval composes it over an RRF shortlist):
+    round 1 picks pure relevance, each later round the argmax of
+    MMR_REL_W·rel − MMR_DIV_W·(max sim to the selected set), ties to
+    the smaller neighbor_id.  ``base`` is localCheckpoint'd here (the
+    greedy chain references it 2^t times); pairwise sims are
+    shortlist-sized (|Q| × k(k−1)) — the corpus is never touched."""
+    base = base.localCheckpoint()  # leaf plan for the greedy chain
     b2 = base.select(
         F.col("query_id").alias("q2"), F.col("neighbor_id").alias("b")
     )

@@ -23,6 +23,7 @@ tail showing the last query the child touched.
 
 Usage: python tools/gate_repro.py [--json GATE_REPRO.json] [--n 50]
          [--timeout 900] [--mem-gb 24] [--sf /root/testdata/sf0.01]
+         [--concurrent-bench]   # bench.py alongside, the r11 driver shape
 
 Measured (r11): RLIMIT_AS=12GB kills the vanilla local[32] JVM — its
 virtual reservations exceed that even at -Xmx1g, and every collect then
@@ -131,6 +132,24 @@ def parent_main(args) -> int:
         except Exception:
             pass
 
+    # --concurrent-bench reproduces the trace-proven r11 driver
+    # pattern (VERDICT r11 item 6): the driver launched its bench
+    # child ~7 s BEFORE its correctness child and ran both on the same
+    # box, and the correctness child is the one that died.  The bench
+    # child is a plain `python bench.py` (sf/cpus via env, its own
+    # JVM), no rlimit — matching the real bench process.
+    bench_proc = None
+    bench_t0 = 0.0
+    if getattr(args, "concurrent_bench", False):
+        bench_env = dict(os.environ)
+        bench_env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        bench_t0 = time.time()
+        bench_proc = subprocess.Popen(
+            [sys.executable, str(REPO / "bench.py")], cwd=str(REPO),
+            env=bench_env, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True)
+        time.sleep(7)  # the measured driver stagger
+
     cmd = [sys.executable, __file__, "--child", "--sf", args.sf,
            "--n", str(args.n), "--child-out", str(child_out)]
     t0 = time.time()
@@ -165,6 +184,24 @@ def parent_main(args) -> int:
     else:
         n_trace = 0
 
+    bench_rec = None
+    if bench_proc is not None:
+        bench_timed_out = False
+        try:  # the window finished; give the bench its own tail budget
+            bench_out, _ = bench_proc.communicate(timeout=args.timeout)
+        except subprocess.TimeoutExpired:
+            bench_timed_out = True
+            bench_proc.kill()
+            bench_out, _ = bench_proc.communicate()
+        bench_rec = {
+            "rc": bench_proc.returncode,
+            "timed_out": bench_timed_out,
+            "wall_s": round(time.time() - bench_t0, 1),
+            # bench.py's contract: ONE JSON summary line on stdout
+            "summary": (bench_out or "").strip().splitlines()[-1][:400]
+            if (bench_out or "").strip() else None,
+        }
+
     n_green = (sum(1 for r in child_results.values() if r.get("hash_match"))
                if child_results else 0)
     report = {
@@ -175,6 +212,7 @@ def parent_main(args) -> int:
         "mem_gb_rlimit": args.mem_gb,
         "sf": args.sf,
         "window_n": args.n,
+        "concurrent_bench": bench_rec,
         "child_wrote_json": child_results is not None,
         "n_green": n_green,
         "failed": ([k for k, r in child_results.items()
@@ -206,6 +244,9 @@ if __name__ == "__main__":
     ap.add_argument("--n", type=int, default=50)
     ap.add_argument("--timeout", type=int, default=900)
     ap.add_argument("--mem-gb", type=int, default=24)
+    ap.add_argument("--concurrent-bench", action="store_true",
+                    help="run `python bench.py` alongside the window "
+                         "(the r11 driver's trace-proven scheduling)")
     ap.add_argument("--json", default="")
     a = ap.parse_args()
     if a.child:
