@@ -1343,9 +1343,9 @@ WITH r1 AS (
     "Scale shape: both retrievers are index-served with label prune "
     "at the postings join; fusion runs on their OUTPUTS (|Q| x k rows "
     "each); everything past the fuse is shortlist-sized (|Q| x k(k-1) "
-    "pairs, " f"{qs.MMR_SELECT - 1} greedy rounds over a "
-    "localCheckpoint'd base) — the corpus is touched only through the "
-    "indexes.  Oracle unrolls the identical greedy rounds",
+    "pairs, greedy selection in one cogrouped int64 Arrow kernel per "
+    "query) — the corpus is touched only through the indexes.  Oracle "
+    "unrolls the identical greedy rounds",
     tags=("similarity", "retrieval", "fusion", "rerank", "filtered"),
     tier=5.5,
 )

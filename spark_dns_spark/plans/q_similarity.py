@@ -734,6 +734,122 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SemDeDup-style semantic dedup (r12) --------------------------------------
+
+_SEMDEDUP_SQL = (
+    _BASE_CTE
+    + f"""
+, q AS (
+  SELECT vec_id, [{km.Q_COLS_SQL}] AS qv FROM e
+)"""
+    + _KPRM_CTE
+    + _IVF_CENTS_SQL
+    + f"""
+, sd1 AS (
+  SELECT vec_id, cell, d2 FROM (
+    SELECT q.vec_id, c.cell, {km.dist_sql("q.qv", "c.cv")} AS d2,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {km.dist_sql("q.qv", "c.cv")} ASC, c.cell) AS rn
+    FROM q, {_IVF_CENTS_CTE} c
+  ) WHERE rn = 1
+), pr AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         x.d2 AS d2_a, y.d2 AS d2_b
+  FROM sd1 x JOIN sd1 y ON y.cell = x.cell AND x.vec_id < y.vec_id
+), nd AS (
+  SELECT id_a, id_b, d2_a, d2_b FROM (
+    SELECT pr.*,
+           round({sim.dot_sql("a.v", "b.v")} / (a.nm * b.nm), 4) AS cosine
+    FROM pr JOIN n a ON a.vec_id = pr.id_a
+            JOIN n b ON b.vec_id = pr.id_b
+  ) WHERE cosine >= {COS_T}
+), dropped AS (
+  SELECT DISTINCT CASE WHEN d2_a < d2_b
+                         OR (d2_a = d2_b AND id_a > id_b)
+                  THEN id_a ELSE id_b END AS vec_id
+  FROM nd
+)
+SELECT sd1.vec_id, sd1.cell, sd1.d2,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+FROM sd1 LEFT JOIN dropped d ON d.vec_id = sd1.vec_id
+"""
+)
+
+
+@register(
+    "dedup_semantic_semdedup",
+    _SEMDEDUP_SQL,
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023, "
+    "arXiv:2303.09540): cluster the corpus into the stored IVF index's "
+    "Lloyd cells (nearest-1 assignment read straight from the persisted "
+    "postings — rn=1 rows of ivf_index_path's asg), then WITHIN each "
+    f"cell drop any item that has a near-dup (cosine >= {COS_T}) with "
+    "strictly higher keep-priority; priority keeps the item FARTHEST "
+    "from its centroid (the paper's keep-low-centroid-similarity rule) "
+    "as the exact integer pair (d2 DESC, vec_id ASC) over the stored "
+    "integer L2 posting metadata — every drop decision compares "
+    "integers, identically in both engines.  Emits the full per-item "
+    "decision table (vec_id, cell, d2, kept).  Scale shape: the "
+    "pairwise stage is a within-cell self-join — quadratic only inside "
+    "a cell, and the cell-maintenance fixpoint caps cell size at "
+    "9/8*mean, so pair work per cell is bounded and pairs never leave "
+    "their cell partition; the corpus embeddings are touched only by "
+    "the two id-keyed cosine gathers (twelfth dedup family: the "
+    "cluster-then-prune semantic tier)",
+    tags=("dedup", "similarity", "semantic"),
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _vectors(spark, sf_dir)
+    root = ivf_index_path(spark, sf_dir)
+    a1 = (
+        spark.read.parquet(f"{root}/asg")
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "d2")
+    )
+    pr = (
+        a1.alias("x")
+        .join(
+            a1.alias("y"),
+            (F.col("y.cell") == F.col("x.cell"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("id_a"),
+            F.col("y.vec_id").alias("id_b"),
+            F.col("x.d2").alias("d2_a"),
+            F.col("y.d2").alias("d2_b"),
+        )
+    )
+    nd = (
+        sim.attach_cosine(pr, n, "id_a", "id_b")
+        .withColumn("cosine", F.round(F.col("cosine"), 4))
+        .filter(F.col("cosine") >= COS_T)
+    )
+    dropped = nd.select(
+        F.when(
+            (F.col("d2_a") < F.col("d2_b"))
+            | (
+                (F.col("d2_a") == F.col("d2_b"))
+                & (F.col("id_a") > F.col("id_b"))
+            ),
+            F.col("id_a"),
+        )
+        .otherwise(F.col("id_b"))
+        .alias("vec_id")
+    ).distinct()
+    return a1.join(
+        dropped.withColumn("is_drop", F.lit(1)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cell",
+        "d2",
+        F.when(F.col("is_drop").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("kept"),
+    )
+
+
 @register(
     "similarity_lsh_recall",
     f"""
@@ -2201,12 +2317,12 @@ WITH base AS MATERIALIZED (
     "to the already-picked set (λ=0.7 as an exact integer pair over "
     "e4 cosines — both engines compare identical integers).  Scale "
     "shape: everything past the serve is shortlist-sized — pairwise "
-    "sims are |Q| x k(k-1) rows and each greedy round is one grouped "
-    "max + one per-query top-1; the corpus is never touched again.  "
-    "The oracle unrolls the identical greedy rounds (the cell-split "
-    "fixpoint pattern); Spark builds the same fixed chain lazily over "
-    "a localCheckpoint'd base/pair (2^rounds plan growth stays on "
-    "leaf-sized plans).  Registered tier 6 (window evidence shipped)",
+    "sims are |Q| x k(k-1) rows and the inherently-sequential greedy "
+    "selection runs in ONE cogrouped Arrow kernel per query (pure "
+    "int64 — the kernel compares exactly the integers the unrolled "
+    "oracle compares); the corpus is never touched again.  The oracle "
+    "unrolls the identical greedy rounds (the cell-split fixpoint "
+    "pattern).  Registered tier 6 (window evidence shipped)",
     tags=("similarity", "retrieval", "rerank"),
     tier=6,
 )
@@ -2226,10 +2342,21 @@ def _mmr_greedy(n: DataFrame, base: DataFrame) -> DataFrame:
     (the fused filtered retrieval composes it over an RRF shortlist):
     round 1 picks pure relevance, each later round the argmax of
     MMR_REL_W·rel − MMR_DIV_W·(max sim to the selected set), ties to
-    the smaller neighbor_id.  ``base`` is localCheckpoint'd here (the
-    greedy chain references it 2^t times); pairwise sims are
-    shortlist-sized (|Q| × k(k−1)) — the corpus is never touched."""
-    base = base.localCheckpoint()  # leaf plan for the greedy chain
+    the smaller neighbor_id.
+
+    Physical strategy (r12): the pairwise cosines stay in Spark SQL
+    (``sim.attach_cosine`` — byte-identical float semantics to the
+    oracle's dot/norm/round), but the greedy rounds run inside ONE
+    cogrouped Arrow kernel keyed by query_id.  The selection is
+    inherently sequential per query (pick t depends on picks 1..t−1),
+    so expressing it as DataFrame joins costs a 2^t lazy plan — the r11
+    shape benched at 321 exchanges / 120 SMJs over |Q|×k rows.  Each
+    kernel group is the query's own shortlist (≤K candidates, ≤K(K−1)
+    pair sims) and the arithmetic is pure int64, so the kernel compares
+    exactly the integers the unrolled SQL oracle compares.  Scale: the
+    corpus is never touched past the serve; the cogroup shuffles only
+    |Q|×k + |Q|×k(k−1) rows however large the corpus grows."""
+    base = base.localCheckpoint()  # single-computed leaf for both uses
     b2 = base.select(
         F.col("query_id").alias("q2"), F.col("neighbor_id").alias("b")
     )
@@ -2241,71 +2368,68 @@ def _mmr_greedy(n: DataFrame, base: DataFrame) -> DataFrame:
         )
         .select("query_id", "a", "b")
     )
-    pair = (
-        sim.attach_cosine(pairs, n, "a", "b")
-        .select(
-            "query_id",
-            "a",
-            "b",
-            F.expr(
-                "CAST(round(round(cosine, 4) * 10000) AS BIGINT)"
-            ).alias("sim_e4"),
-        )
-        .localCheckpoint()
+    # the pair side keys as ``qid``: it derives FROM base, and cogroup
+    # on the shared name trips Spark's ambiguous-self-join analyzer
+    pair = sim.attach_cosine(pairs, n, "a", "b").select(
+        F.col("query_id").alias("qid"),
+        "a",
+        "b",
+        F.expr(
+            "CAST(round(round(cosine, 4) * 10000) AS BIGINT)"
+        ).alias("sim_e4"),
     )
-    w_rel = Window.partitionBy("query_id").orderBy(
-        F.col("rel_e4").desc(), "neighbor_id"
-    )
-    selall = (
-        base.withColumn("rn", F.row_number().over(w_rel))
-        .filter(F.col("rn") == 1)
-        .select(
-            "query_id",
-            "neighbor_id",
-            (F.lit(MMR_REL_W) * F.col("rel_e4")).alias("mmr_score"),
-            F.lit(1).alias("sel_rank"),
+    return (
+        base.groupBy("query_id")
+        .cogroup(pair.groupBy("qid"))
+        .applyInPandas(
+            _mmr_kernel,
+            "query_id bigint, neighbor_id bigint, "
+            "mmr_score bigint, sel_rank int",
         )
     )
+
+
+def _mmr_kernel(bdf, pdf):
+    """Per-query greedy MMR over one shortlist group (pure int64;
+    mirrors the unrolled SQL oracle row for row): round 1 = max rel_e4
+    (ties to the smaller neighbor_id); round t = argmax of
+    ``MMR_REL_W·rel − MMR_DIV_W·max(sim to selected)`` over candidates
+    that HAVE a pair row to the selected set (the oracle inner-joins
+    ``pair``, so a candidate with no sims drops out — only possible on
+    a 1-candidate shortlist, where rounds 2+ emit nothing there too)."""
+    import pandas as pd
+
+    cols = ["query_id", "neighbor_id", "mmr_score", "sel_rank"]
+    if bdf.empty:
+        return pd.DataFrame(columns=cols)
+    qid = int(bdf["query_id"].iloc[0])
+    rel = {
+        int(nb): int(r)
+        for nb, r in zip(bdf["neighbor_id"], bdf["rel_e4"])
+    }
+    sim_e4 = {
+        (int(a), int(b)): int(s)
+        for a, b, s in zip(pdf["a"], pdf["b"], pdf["sim_e4"])
+    }
+    first = min(rel, key=lambda c: (-rel[c], c))
+    out = [(qid, first, MMR_REL_W * rel[first], 1)]
+    sel = [first]
     for t in range(2, MMR_SELECT + 1):
-        sel_b = selall.select(
-            "query_id", F.col("neighbor_id").alias("b")
-        )
-        ms = (
-            pair.join(sel_b, ["query_id", "b"])
-            .groupBy("query_id", F.col("a").alias("neighbor_id"))
-            .agg(F.max("sim_e4").alias("maxsim_e4"))
-        )
-        scored = (
-            base.join(
-                selall.select("query_id", "neighbor_id"),
-                ["query_id", "neighbor_id"],
-                "left_anti",
-            )
-            .join(ms, ["query_id", "neighbor_id"])
-            .select(
-                "query_id",
-                "neighbor_id",
-                (
-                    F.lit(MMR_REL_W) * F.col("rel_e4")
-                    - F.lit(MMR_DIV_W) * F.col("maxsim_e4")
-                ).alias("mmr_score"),
-            )
-        )
-        w_mmr = Window.partitionBy("query_id").orderBy(
-            F.col("mmr_score").desc(), "neighbor_id"
-        )
-        sel_t = (
-            scored.withColumn("rn", F.row_number().over(w_mmr))
-            .filter(F.col("rn") == 1)
-            .select(
-                "query_id",
-                "neighbor_id",
-                "mmr_score",
-                F.lit(t).alias("sel_rank"),
-            )
-        )
-        selall = selall.unionByName(sel_t)
-    return selall
+        best = None  # (mmr_score, neighbor_id), ties to smaller id
+        for c in rel:
+            if c in sel:
+                continue
+            sims = [sim_e4[(c, s)] for s in sel if (c, s) in sim_e4]
+            if not sims:
+                continue
+            score = MMR_REL_W * rel[c] - MMR_DIV_W * max(sims)
+            if best is None or (score, -c) > (best[0], -best[1]):
+                best = (score, c)
+        if best is None:
+            break
+        out.append((qid, best[1], best[0], t))
+        sel.append(best[1])
+    return pd.DataFrame(out, columns=cols)
 
 
 # --- upserted-index serve freshness (VERDICT r11 item 4) ---------------------
