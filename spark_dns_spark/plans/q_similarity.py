@@ -798,6 +798,9 @@ FROM sd1 LEFT JOIN dropped d ON d.vec_id = sd1.vec_id
     "the two id-keyed cosine gathers (twelfth dedup family: the "
     "cluster-then-prune semantic tier)",
     tags=("dedup", "similarity", "semantic"),
+    # window TAIL, not mid-window: first IVF-index consumer in a cold
+    # process pays the build — that belongs after the cheap §2 evidence
+    tier=5.5,
 )
 def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _vectors(spark, sf_dir)

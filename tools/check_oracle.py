@@ -27,6 +27,7 @@ from __future__ import annotations
 import hashlib
 import math
 import sys
+import time
 
 # Keep the gate breadcrumb trail (.gate_trace.jsonl) for EXTERNAL
 # driver runs only (must be set before __spark_entry__ import).
@@ -184,6 +185,7 @@ def run(sf_dir: str, only: list[str], json_out: str | None = None) -> int:
             "oracle_rows": None,
             "err": None,
         }
+        t0 = time.monotonic()
         try:
             sdf = qs[name](spark, sf_dir)
             scols, srows = _pandas_rows(sdf.toPandas())
@@ -193,6 +195,7 @@ def run(sf_dir: str, only: list[str], json_out: str | None = None) -> int:
             failed.append(name)
             continue
         finally:
+            rec["spark_s"] = round(time.monotonic() - t0, 3)
             # cache-lifetime discipline: a query's persists/checkpoints
             # are released the moment its result is consumed — nothing
             # carries into the next query's execution (VERDICT r3).
@@ -205,6 +208,7 @@ def run(sf_dir: str, only: list[str], json_out: str | None = None) -> int:
                        err="rows-only (no oracle)")
             print(f"ok   {name}: rows-only ({len(srows)} rows, no oracle)")
             continue
+        t0 = time.monotonic()
         try:
             dcols, drows = _pandas_rows(run_oracle_resilient(con, oracles[name]))
         except Exception as e:
@@ -212,6 +216,8 @@ def run(sf_dir: str, only: list[str], json_out: str | None = None) -> int:
             rec["err"] = f"duckdb error: {e}"
             failed.append(name)
             continue
+        finally:
+            rec["oracle_s"] = round(time.monotonic() - t0, 3)
         rec["oracle_rows"] = len(drows)
         problems = []
         rec["rows_match"] = len(srows) == len(drows)
