@@ -95,6 +95,14 @@ QUERIES = [
     "similarity_hybrid_rrf",
     "retrieval_mmr_rerank",
     "dedup_cluster_label_propagation",
+    # r12 additions: the filtered IVF-PQ pair, the upserted-index
+    # serve-freshness proof, the fused filtered RAG pipeline, and the
+    # SemDeDup semantic-dedup family
+    "similarity_topk_filtered_ivfpq",
+    "similarity_filtered_ivfpq_recall",
+    "similarity_upsert_serve_fresh",
+    "retrieval_filtered_fused_mmr",
+    "dedup_semantic_semdedup",
 ]
 
 #: the full heavy-tier ORACLE list for the sf1 cross-engine gate
@@ -148,6 +156,10 @@ ORACLE_QUERIES = [
     "tpch_q11_important_stock", "tpch_q20_potential_promotion",
     "similarity_hybrid_rrf", "retrieval_mmr_rerank",
     "dedup_cluster_label_propagation",
+    # r12 additions
+    "similarity_topk_filtered_ivfpq", "similarity_filtered_ivfpq_recall",
+    "similarity_upsert_serve_fresh", "retrieval_filtered_fused_mmr",
+    "dedup_semantic_semdedup",
 ]
 
 
@@ -180,6 +192,11 @@ QUADRATIC_WORK = {
     "similarity_hybrid_rrf",
     # shortlist post-processing on a QMOD-sampled serve — same class
     "retrieval_mmr_rerank",
+    # r12: compose the filtered-serve and ADC classes (both quadratic)
+    "similarity_topk_filtered_ivfpq",
+    "similarity_filtered_ivfpq_recall",
+    # r12: filtered fused pipeline — inherits its two retrievers' class
+    "retrieval_filtered_fused_mmr",
 }
 
 #: Queries whose work grows ~n^1.5 (x~32 at 10x data): the all-pairs
@@ -188,6 +205,10 @@ QUADRATIC_WORK = {
 #: done-criterion: candidate growth tamed from quadratic).
 SESQUI_WORK = {
     "similarity_range_ivf",
+    # r12: QMOD queries x10 against per-query probe work ~ sqrt(n) log n
+    "similarity_upsert_serve_fresh",
+    # r12: within-cell pair prune — KC x cell^2 ~ n^1.5 pair work
+    "dedup_semantic_semdedup",
 }
 
 #: Queries allowed to claim the OUTPUT-growth bound (ADVICE r11: the
