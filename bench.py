@@ -170,6 +170,14 @@ HEADLINE = [
     "similarity_hybrid_rrf",
     "retrieval_mmr_rerank",
     "dedup_cluster_label_propagation",
+    # round-12 tier (101 -> 106): the filtered IVF-PQ pair, the
+    # upserted-index serve-freshness proof, the fused filtered RAG
+    # pipeline, and the SemDeDup semantic-dedup family
+    "similarity_topk_filtered_ivfpq",
+    "similarity_filtered_ivfpq_recall",
+    "similarity_upsert_serve_fresh",
+    "retrieval_filtered_fused_mmr",
+    "dedup_semantic_semdedup",
 ]
 
 
