@@ -179,7 +179,14 @@ def cached_index_path(
         if published is not None:
             root = published  # another process already built this index
         elif target is not None:
-            root = _disk_publish(target, build)
+            try:
+                root = _disk_publish(target, build)
+            except OSError:
+                # unwritable cache root (read-only tmp, quota, hostile
+                # sandbox): the disk layer is an optimization, never a
+                # requirement — degrade to process-lifetime scratch
+                root = scratch_dir("idx_")
+                build(root)
         else:  # disk layer disabled: process-lifetime scratch dir
             root = scratch_dir("idx_")
             build(root)

@@ -127,3 +127,35 @@ def test_in_process_dict_still_fronts_disk(cache_env):
     )
     assert p1 == p2 == p3 and len(calls) == 1
     assert any(k[0] == sf for k in d)
+
+
+def test_unwritable_root_degrades_to_scratch(tmp_path, monkeypatch):
+    """A hostile harness may point tmp at an unwritable filesystem — the
+    disk layer is an optimization, so the build must fall back to the
+    process-lifetime scratch dir instead of dying (r12).  (chmod can't
+    simulate this under root, so the publish itself is made to fail.)"""
+    root = tmp_path / "cache"
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    (sf / "embeddings.parquet").write_bytes(b"stand-in")
+    monkeypatch.setenv(feeds._DISK_CACHE_ENV, str(root))
+
+    def deny(target, build):
+        raise OSError(30, "Read-only file system", target)
+
+    monkeypatch.setattr(feeds, "_disk_publish", deny)
+    calls: list = []
+    cache: dict = {}
+    p = feeds.cached_index_path(
+        cache, str(sf), "embeddings.parquet", _build_counter(calls),
+        name="t",
+    )
+    assert len(calls) == 1
+    assert open(os.path.join(p, "payload")).read() == "built\n"
+    assert not str(p).startswith(str(root))
+    # and the process dict still caches the scratch result
+    p2 = feeds.cached_index_path(
+        cache, str(sf), "embeddings.parquet", _build_counter(calls),
+        name="t",
+    )
+    assert p2 == p and len(calls) == 1
