@@ -645,6 +645,17 @@ _ROTATION_R12: dict[str, float] = {
     "similarity_filtered_rare_recall": TIER_WINDOW_TAIL,
     "similarity_topk_ivfpq": TIER_WINDOW_TAIL,
     "similarity_ivfpq_recall": TIER_WINDOW_TAIL,
+    # pull the tier-6 entries that backfill the 50-query window up to
+    # 5.4 — without this they sort AFTER the 5.5 ANN tail (tier 6
+    # leaks into the window's final slots), so an ANN-tier death would
+    # forfeit seven CHEAP results; same 50 entries, tail truly last:
+    "dns_read_zone_pushdown": 5.4,
+    "dns_ip_cidr_attribution": 5.4,
+    "hypertable_rollup": 5.4,
+    "changelog_incremental_merge": 5.4,
+    "ivm_join_delta": 5.4,
+    "ivm_agg_delta": 5.4,
+    "range_join_bucketed": 5.4,
 }
 
 
