@@ -67,8 +67,14 @@ def configure_duck(con) -> None:
     except (ValueError, OSError):
         ram_gb = 16
     # never ABOVE the 80%-of-RAM default on small hosts: a fixed 16GB
-    # on an 8GB box would worsen the race this helper exists to stop
+    # on an 8GB box would worsen the race this helper exists to stop.
+    # SPARK_GRAFT_DUCK_MEM_GB overrides for standalone big-oracle runs
+    # (the sf1 gate's pair-heavy r12 oracles need ~2x the coexistence
+    # cap on a 128GB box; the driver-shaped gates never set it).
     limit_gb = max(1, min(16, int(ram_gb * 0.4)))
+    env_gb = os.environ.get("SPARK_GRAFT_DUCK_MEM_GB")
+    if env_gb:
+        limit_gb = max(1, min(int(env_gb), int(ram_gb * 0.8)))
     con.execute("SET threads=8")
     con.execute(f"SET memory_limit='{limit_gb}GB'")
     # spill dir cleaned up on interpreter exit (same pattern as
