@@ -178,6 +178,9 @@ HEADLINE = [
     "similarity_upsert_serve_fresh",
     "retrieval_filtered_fused_mmr",
     "dedup_semantic_semdedup",
+    # round-12 continuation (106 -> 107): incremental SemDeDup — the
+    # new-batch-vs-stored-index crawl shape
+    "dedup_semantic_incremental",
 ]
 
 

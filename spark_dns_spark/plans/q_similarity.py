@@ -853,6 +853,158 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDEDUP_INC_SQL = (
+    _BASE_CTE
+    + f"""
+, qa AS (
+  SELECT vec_id, [{km.Q_COLS_SQL}] AS qv FROM e
+), q AS (
+  SELECT * FROM qa WHERE vec_id % {UP_MOD} <> {UP_REM}
+)"""
+    + _KPRM_CTE
+    + _IVF_CENTS_SQL
+    + f"""
+, sb1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT q.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {km.dist_sql("q.qv", "c.cv")} ASC, c.cell) AS rn
+    FROM q, {_IVF_CENTS_CTE} c
+  ) WHERE rn = 1
+), sd1 AS (
+  SELECT vec_id, cell, d2 FROM (
+    SELECT dq.vec_id, c.cell, {km.dist_sql("dq.qv", "c.cv")} AS d2,
+           row_number() OVER (
+             PARTITION BY dq.vec_id
+             ORDER BY {km.dist_sql("dq.qv", "c.cv")} ASC, c.cell) AS rn
+    FROM (SELECT * FROM qa WHERE vec_id % {UP_MOD} = {UP_REM}) dq,
+         {_IVF_CENTS_CTE} c
+  ) WHERE rn = 1
+), vb AS (
+  SELECT DISTINCT a.vec_id
+  FROM sd1 a JOIN sb1 b ON b.cell = a.cell
+  JOIN n na ON na.vec_id = a.vec_id
+  JOIN n nb ON nb.vec_id = b.vec_id
+  WHERE round({sim.dot_sql("na.v", "nb.v")} / (na.nm * nb.nm), 4)
+        >= {COS_T}
+), vd AS (
+  SELECT DISTINCT x.vec_id
+  FROM sd1 x JOIN sd1 y ON y.cell = x.cell AND y.vec_id <> x.vec_id
+         AND (y.d2 > x.d2 OR (y.d2 = x.d2 AND y.vec_id < x.vec_id))
+  JOIN n nx ON nx.vec_id = x.vec_id
+  JOIN n ny ON ny.vec_id = y.vec_id
+  WHERE round({sim.dot_sql("nx.v", "ny.v")} / (nx.nm * ny.nm), 4)
+        >= {COS_T}
+)
+SELECT sd1.vec_id, sd1.cell, sd1.d2,
+       CASE WHEN b.vec_id IS NULL AND d.vec_id IS NULL
+       THEN 1 ELSE 0 END AS kept
+FROM sd1 LEFT JOIN vb b ON b.vec_id = sd1.vec_id
+         LEFT JOIN vd d ON d.vec_id = sd1.vec_id
+"""
+)
+
+
+@register(
+    "dedup_semantic_incremental",
+    _SEMDEDUP_INC_SQL,
+    doc="INCREMENTAL SemDeDup — the production crawl shape: dedup a "
+    f"NEW embedding batch (vec_id%{UP_MOD}=={UP_REM}) against the "
+    "STORED base-corpus IVF index without retraining anything.  The "
+    "delta quantizes and nearest-1-assigns against the stored "
+    "centroids (batch cost proportional to |delta|, same argmin "
+    "kernel as the build); a delta item is dropped if its cell holds "
+    f"a base member within cosine {COS_T} (the corpus always "
+    "outranks an incoming duplicate) or a higher-keep-priority delta "
+    "sibling (farther-from-centroid wins via the integer d2, ties to "
+    "the smaller vec_id — the dedup_semantic_semdedup rule).  Emits "
+    "the per-delta-item decision table (vec_id, cell, d2, kept).  "
+    "Scale shape: the corpus is touched only through the stored "
+    "nearest-1 postings; both pair stages are within-cell joins "
+    "bounded by the fixpoint cell cap, and only the two id-keyed "
+    "cosine gathers see vectors.  Oracle trains on the base and "
+    "unrolls the same two dominance checks",
+    tags=("dedup", "similarity", "semantic", "incremental"),
+    tier=6,
+)
+def dedup_semantic_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    n = _vectors(spark, sf_dir)
+    root = ivf_base_index_path(spark, sf_dir)
+    cents = load_cents(spark, f"{root}/cents")
+    if not cents:
+        return spark.createDataFrame(
+            [], "vec_id bigint, cell bigint, d2 bigint, kept int"
+        )
+    b1 = (
+        spark.read.parquet(f"{root}/asg")
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("bid"), "cell")
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qd = km.quantize(
+        e.filter((F.col("vec_id") % UP_MOD) == UP_REM).select("vec_id", "v")
+    )
+    d1 = _nearest_cells(qd, cents, 1, meta=True).select(
+        "vec_id", "cell", "d2"
+    )
+    # delta-vs-base: any near-dup base member in the cell drops the
+    # delta item (no priority — the already-indexed corpus wins)
+    pb = d1.join(b1, "cell").select(
+        F.col("vec_id").alias("id_a"), F.col("bid").alias("id_b")
+    )
+    vb = (
+        sim.attach_cosine(pb, n, "id_a", "id_b")
+        .withColumn("cosine", F.round(F.col("cosine"), 4))
+        .filter(F.col("cosine") >= COS_T)
+        .select(F.col("id_a").alias("vec_id"))
+        .distinct()
+    )
+    # delta-vs-delta: the batch dedups against itself with the
+    # batch-mode keep rule (d2 DESC, vec_id ASC wins)
+    pd_ = (
+        d1.alias("x")
+        .join(
+            d1.alias("y"),
+            (F.col("y.cell") == F.col("x.cell"))
+            & (F.col("y.vec_id") != F.col("x.vec_id"))
+            & (
+                (F.col("y.d2") > F.col("x.d2"))
+                | (
+                    (F.col("y.d2") == F.col("x.d2"))
+                    & (F.col("y.vec_id") < F.col("x.vec_id"))
+                )
+            ),
+        )
+        .select(
+            F.col("x.vec_id").alias("id_a"),
+            F.col("y.vec_id").alias("id_b"),
+        )
+    )
+    vd = (
+        sim.attach_cosine(pd_, n, "id_a", "id_b")
+        .withColumn("cosine", F.round(F.col("cosine"), 4))
+        .filter(F.col("cosine") >= COS_T)
+        .select(F.col("id_a").alias("vec_id"))
+        .distinct()
+    )
+    dropped = vb.unionByName(vd).distinct().withColumn(
+        "is_drop", F.lit(1)
+    )
+    return d1.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        "d2",
+        F.when(F.col("is_drop").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("kept"),
+    )
+
+
 @register(
     "similarity_lsh_recall",
     f"""

@@ -103,6 +103,7 @@ QUERIES = [
     "similarity_upsert_serve_fresh",
     "retrieval_filtered_fused_mmr",
     "dedup_semantic_semdedup",
+    "dedup_semantic_incremental",
 ]
 
 #: the full heavy-tier ORACLE list for the sf1 cross-engine gate
@@ -159,7 +160,7 @@ ORACLE_QUERIES = [
     # r12 additions
     "similarity_topk_filtered_ivfpq", "similarity_filtered_ivfpq_recall",
     "similarity_upsert_serve_fresh", "retrieval_filtered_fused_mmr",
-    "dedup_semantic_semdedup",
+    "dedup_semantic_semdedup", "dedup_semantic_incremental",
 ]
 
 
@@ -209,6 +210,8 @@ SESQUI_WORK = {
     "similarity_upsert_serve_fresh",
     # r12: within-cell pair prune — KC x cell^2 ~ n^1.5 pair work
     "dedup_semantic_semdedup",
+    # r12: delta x within-cell base members — same n^1.5 class
+    "dedup_semantic_incremental",
 }
 
 #: Queries allowed to claim the OUTPUT-growth bound (ADVICE r11: the
