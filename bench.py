@@ -178,9 +178,11 @@ HEADLINE = [
     "similarity_upsert_serve_fresh",
     "retrieval_filtered_fused_mmr",
     "dedup_semantic_semdedup",
-    # round-12 continuation (106 -> 107): incremental SemDeDup — the
-    # new-batch-vs-stored-index crawl shape
+    # round-12 continuation (106 -> 108): incremental SemDeDup (the
+    # new-batch-vs-stored-index crawl shape) and the delete half of
+    # index maintenance (tombstone anti-join serve)
     "dedup_semantic_incremental",
+    "similarity_ivf_delete_serve",
 ]
 
 

@@ -598,6 +598,102 @@ def similarity_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(dasg)
 
 
+#: Tombstone batch for the DELETE half of index maintenance (the adds
+#: half is UP_REM): vec_id % 10 == 3 is "the batch a user deleted".
+DEL_REM = 3
+
+_IVF_DELETE_SQL = (
+    _BASE_CTE
+    + f"""
+, q AS (
+  SELECT vec_id, [{km.Q_COLS_SQL}] AS qv FROM e
+)"""
+    + _KPRM_CTE
+    + _NPRM_CTE
+    + _IVF_CENTS_SQL
+    + f"""
+, asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT q.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {km.dist_sql("q.qv", "c.cv")} ASC, c.cell) AS rn
+    FROM q, {_IVF_CENTS_CTE} c
+  ) WHERE rn <= {IVF_ASSIGN}
+    AND vec_id % {UP_MOD} <> {DEL_REM}
+), probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.cell,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {km.dist_sql("q.qv", "c.cv")} ASC, c.cell) AS rn
+    FROM (SELECT * FROM q WHERE vec_id % {QMOD} = 0
+            AND vec_id % {UP_MOD} <> {DEL_REM}) q, {_IVF_CENTS_CTE} c
+  ) WHERE rn <= (SELECT np FROM nprm)
+), cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.query_id
+)
+"""
+    + _scored_topk_sql("")
+)
+
+
+@register(
+    "similarity_ivf_delete_serve",
+    _IVF_DELETE_SQL,
+    doc="the DELETE half of index maintenance (the upsert family covers "
+    f"adds): a tombstoned batch (vec_id%{UP_MOD}=={DEL_REM}) is removed "
+    "from the STORED postings by an anti-join — the model (centroids) "
+    "stays as trained, the production reality between retrains — and "
+    "the serve proves it at the QUERY output: top-k from the pruned "
+    "postings hash-equals a serve over postings rebuilt by assigning "
+    "only the survivors to the same centroids (assignment is a "
+    "deterministic per-vector map, so prune-after == assign-survivors; "
+    "deleted vectors can neither be queries nor be returned).  Probe "
+    "width stays derived from the stored model's corpus size.  Scale "
+    "shape: the tombstone anti-join is postings-sized and pushes the "
+    "modulo filter to the postings scan; at 100 TB deletes batch into "
+    "a bloom/broadcast anti-join per probe instead of a rewrite",
+    tags=("similarity", "ivf", "incremental"),
+    tier=6,
+)
+def similarity_ivf_delete_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    n = _vectors(spark, sf_dir)
+    root = ivf_index_path(spark, sf_dir)
+    cents = load_cents(spark, f"{root}/cents")
+    if not cents:
+        return _scored_topk(
+            n,
+            n.select(F.col("vec_id").alias("query_id"))
+            .limit(0)
+            .select("query_id", F.col("query_id").alias("neighbor_id")),
+        )
+    asg = (
+        spark.read.parquet(f"{root}/asg")
+        .filter((F.col("vec_id") % UP_MOD) != DEL_REM)
+        .select(F.col("vec_id").alias("neighbor_id"), "cell")
+    )
+    qq = km.quantize(
+        n.filter(
+            ((F.col("vec_id") % QMOD) == 0)
+            & ((F.col("vec_id") % UP_MOD) != DEL_REM)
+        ).select("vec_id", "v")
+    )
+    probes = _nearest_cells(qq, cents, nprobe(n.count())).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    cand = (
+        probes.join(asg, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    return _scored_topk(n, cand)
+
+
 @register(
     "similarity_topk_ivf",
     _IVF_SQL,

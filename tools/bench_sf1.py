@@ -104,6 +104,7 @@ QUERIES = [
     "retrieval_filtered_fused_mmr",
     "dedup_semantic_semdedup",
     "dedup_semantic_incremental",
+    "similarity_ivf_delete_serve",
 ]
 
 #: the full heavy-tier ORACLE list for the sf1 cross-engine gate
@@ -161,6 +162,7 @@ ORACLE_QUERIES = [
     "similarity_topk_filtered_ivfpq", "similarity_filtered_ivfpq_recall",
     "similarity_upsert_serve_fresh", "retrieval_filtered_fused_mmr",
     "dedup_semantic_semdedup", "dedup_semantic_incremental",
+    "similarity_ivf_delete_serve",
 ]
 
 
@@ -212,6 +214,9 @@ SESQUI_WORK = {
     "dedup_semantic_semdedup",
     # r12: delta x within-cell base members — same n^1.5 class
     "dedup_semantic_incremental",
+    # r12: a QMOD-sampled serve over pruned postings — the base IVF
+    # serve class (queries x10, per-query probe ~ sqrt(n) log n)
+    "similarity_ivf_delete_serve",
 }
 
 #: Queries allowed to claim the OUTPUT-growth bound (ADVICE r11: the
