@@ -1101,6 +1101,247 @@ def dedup_semantic_incremental(
     )
 
 
+_SEMDEDUP_STREAM_SQL = (
+    _BASE_CTE
+    + f"""
+, qa AS (
+  SELECT vec_id, [{km.Q_COLS_SQL}] AS qv FROM e
+), q AS (
+  SELECT * FROM qa WHERE vec_id % {UP_MOD} <> {UP_REM}
+)"""
+    + _KPRM_CTE
+    + _IVF_CENTS_SQL
+    + f"""
+, sb1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT q.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {km.dist_sql("q.qv", "c.cv")} ASC, c.cell) AS rn
+    FROM q, {_IVF_CENTS_CTE} c
+  ) WHERE rn = 1
+), sdd AS (
+  SELECT vec_id, cell, d2,
+         CAST((vec_id // {UP_MOD}) % 2 AS INT) AS wave
+  FROM (
+    SELECT dq.vec_id, c.cell, {km.dist_sql("dq.qv", "c.cv")} AS d2,
+           row_number() OVER (
+             PARTITION BY dq.vec_id
+             ORDER BY {km.dist_sql("dq.qv", "c.cv")} ASC, c.cell) AS rn
+    FROM (SELECT * FROM qa WHERE vec_id % {UP_MOD} = {UP_REM}) dq,
+         {_IVF_CENTS_CTE} c
+  ) WHERE rn = 1
+), vb AS (
+  SELECT DISTINCT a.vec_id
+  FROM sdd a JOIN sb1 b ON b.cell = a.cell
+  JOIN n na ON na.vec_id = a.vec_id
+  JOIN n nb ON nb.vec_id = b.vec_id
+  WHERE round({sim.dot_sql("na.v", "nb.v")} / (na.nm * nb.nm), 4)
+        >= {COS_T}
+), vs AS (
+  SELECT DISTINCT x.vec_id
+  FROM sdd x JOIN sdd y ON y.cell = x.cell AND y.wave = x.wave
+         AND y.vec_id <> x.vec_id
+         AND (y.d2 > x.d2 OR (y.d2 = x.d2 AND y.vec_id < x.vec_id))
+  JOIN n nx ON nx.vec_id = x.vec_id
+  JOIN n ny ON ny.vec_id = y.vec_id
+  WHERE round({sim.dot_sql("nx.v", "ny.v")} / (nx.nm * ny.nm), 4)
+        >= {COS_T}
+), k0 AS (
+  SELECT sdd.vec_id, cell FROM sdd
+  LEFT JOIN vb ON vb.vec_id = sdd.vec_id
+  LEFT JOIN vs ON vs.vec_id = sdd.vec_id
+  WHERE wave = 0 AND vb.vec_id IS NULL AND vs.vec_id IS NULL
+), vp AS (
+  SELECT DISTINCT a.vec_id
+  FROM (SELECT * FROM sdd WHERE wave = 1) a
+  JOIN k0 b ON b.cell = a.cell
+  JOIN n na ON na.vec_id = a.vec_id
+  JOIN n nb ON nb.vec_id = b.vec_id
+  WHERE round({sim.dot_sql("na.v", "nb.v")} / (na.nm * nb.nm), 4)
+        >= {COS_T}
+)
+SELECT sdd.vec_id, sdd.cell, sdd.d2, sdd.wave,
+       CASE WHEN vb.vec_id IS NULL AND vs.vec_id IS NULL
+             AND vp.vec_id IS NULL
+       THEN 1 ELSE 0 END AS kept
+FROM sdd LEFT JOIN vb ON vb.vec_id = sdd.vec_id
+         LEFT JOIN vs ON vs.vec_id = sdd.vec_id
+         LEFT JOIN vp ON vp.vec_id = sdd.vec_id
+"""
+)
+
+
+@register(
+    "dedup_semantic_stream",
+    _SEMDEDUP_STREAM_SQL,
+    doc="CONTINUOUS semantic dedup at ingest — the crawl-firehose "
+    "shape: the delta embedding batch arrives as a parquet file "
+    "stream (two micro-batch waves under maxFilesPerTrigger=1, wave "
+    f"= (vec_id div {UP_MOD}) mod 2); each wave assigns against the "
+    "STORED base centroids (stateless Arrow argmin, cost "
+    "proportional to the wave), probes the stored base postings PLUS "
+    "the accumulated ADMITTED items of earlier waves, and emits its "
+    "decision rows.  Semantics are arrival-ordered, the only thing "
+    "an ingest pipeline can implement: an admitted item is never "
+    "retro-dropped when a higher-priority near-dup arrives later "
+    "(first-come-wins ACROSS waves), while WITHIN a wave the batch "
+    "dominance rule applies (d2 DESC, vec_id ASC) and the corpus "
+    "always outranks.  foreachBatch writes are idempotent (per-wave "
+    "overwrite subdirs; a wave's probe excludes its own appendix).  "
+    "The oracle unrolls both waves exactly — this differs from "
+    "dedup_semantic_incremental's whole-batch dominance precisely "
+    "where streaming must differ, and the pair of entries documents "
+    "that gap.  Scale: per-wave cost is assignment + within-cell "
+    "probes; the admitted index grows by exactly the wave's keeps",
+    tags=("dedup", "similarity", "semantic", "incremental", "streaming"),
+    tier=6,
+)
+def dedup_semantic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from spark_dns_spark.plans.feeds import (  # noqa: PLC0415
+        await_or_fail,
+        scratch_dir,
+        single_part_file,
+    )
+
+    empty_schema = "vec_id bigint, cell bigint, d2 bigint, wave int, kept int"
+    idx_root = ivf_base_index_path(spark, sf_dir)
+    cents = load_cents(spark, f"{idx_root}/cents")
+    if not cents:
+        return spark.createDataFrame([], empty_schema)
+
+    root = scratch_dir("semdedup_stream_")
+    src_dir = os.path.join(root, "src")
+    os.makedirs(src_dir)
+    delta = load_table(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") % UP_MOD) == UP_REM
+    ).select("vec_id", "embedding")
+    for i, half in enumerate(
+        (
+            delta.filter(F.expr(f"(vec_id div {UP_MOD}) % 2 = 0")),
+            delta.filter(F.expr(f"(vec_id div {UP_MOD}) % 2 = 1")),
+        )
+    ):
+        part_dir = os.path.join(root, f"half{i}")
+        half.coalesce(1).write.parquet(part_dir)
+        part = single_part_file(part_dir, f"dedup_semantic_stream half{i}")
+        dst = os.path.join(src_dir, f"{i:02d}_wave.parquet")
+        shutil.copy(part, dst)
+        mt = os.stat(dst).st_mtime
+        os.utime(dst, (mt - 10 * (1 - i), mt - 10 * (1 - i)))
+
+    out = os.path.join(root, "out")
+    acc = os.path.join(root, "acc")
+
+    def _earlier(base_dir: str, batch_id: int) -> list[str]:
+        if not os.path.isdir(base_dir):
+            return []
+        return [
+            os.path.join(base_dir, d)
+            for d in sorted(os.listdir(base_dir))
+            if d.startswith("b") and d != f"b{batch_id}"
+        ]
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        nv = _vectors(sp, sf_dir)
+        qd = km.quantize(
+            batch.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("v")
+            )
+        )
+        d1 = _nearest_cells(qd, cents, 1, meta=True).select(
+            "vec_id", "cell", "d2"
+        ).persist()
+        members = (
+            sp.read.parquet(f"{idx_root}/asg")
+            .filter(F.col("rn") == 1)
+            .select(F.col("vec_id").alias("bid"), "cell")
+        )
+        prior = _earlier(acc, batch_id)
+        if prior:
+            members = members.unionByName(sp.read.parquet(*prior))
+        pb = d1.join(members, "cell").select(
+            F.col("vec_id").alias("id_a"), F.col("bid").alias("id_b")
+        )
+        v_ext = (
+            sim.attach_cosine(pb, nv, "id_a", "id_b")
+            .withColumn("cosine", F.round(F.col("cosine"), 4))
+            .filter(F.col("cosine") >= COS_T)
+            .select(F.col("id_a").alias("vec_id"))
+            .distinct()
+        )
+        ps = (
+            d1.alias("x")
+            .join(
+                d1.alias("y"),
+                (F.col("y.cell") == F.col("x.cell"))
+                & (F.col("y.vec_id") != F.col("x.vec_id"))
+                & (
+                    (F.col("y.d2") > F.col("x.d2"))
+                    | (
+                        (F.col("y.d2") == F.col("x.d2"))
+                        & (F.col("y.vec_id") < F.col("x.vec_id"))
+                    )
+                ),
+            )
+            .select(
+                F.col("x.vec_id").alias("id_a"),
+                F.col("y.vec_id").alias("id_b"),
+            )
+        )
+        v_sib = (
+            sim.attach_cosine(ps, nv, "id_a", "id_b")
+            .withColumn("cosine", F.round(F.col("cosine"), 4))
+            .filter(F.col("cosine") >= COS_T)
+            .select(F.col("id_a").alias("vec_id"))
+            .distinct()
+        )
+        dropped = v_ext.unionByName(v_sib).distinct().withColumn(
+            "is_drop", F.lit(1)
+        )
+        dec = d1.join(dropped, "vec_id", "left").select(
+            "vec_id",
+            "cell",
+            "d2",
+            F.expr(f"CAST((vec_id div {UP_MOD}) % 2 AS INT)").alias("wave"),
+            F.when(F.col("is_drop").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("kept"),
+        ).persist()
+        dec.write.mode("overwrite").parquet(os.path.join(out, f"b{batch_id}"))
+        # publish ADMITTED items AFTER probing: a retried wave never
+        # sees its own appendix, and overwrite keeps it idempotent
+        dec.filter(F.col("kept") == 1).select(
+            F.col("vec_id").alias("bid"), "cell"
+        ).write.mode("overwrite").parquet(os.path.join(acc, f"b{batch_id}"))
+        dec.unpersist()
+        d1.unpersist()
+
+    physical = spark.read.parquet(src_dir).schema
+    q = (
+        spark.readStream.schema(physical)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(root, ".ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_fail(q, 300)
+    batch_outs = [
+        os.path.join(out, d)
+        for d in sorted(os.listdir(out))
+        if d.startswith("b")
+    ] if os.path.isdir(out) else []
+    if not batch_outs:
+        return spark.createDataFrame([], empty_schema)
+    return spark.read.parquet(*batch_outs)
+
+
 @register(
     "similarity_lsh_recall",
     f"""

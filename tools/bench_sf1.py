@@ -162,7 +162,7 @@ ORACLE_QUERIES = [
     "similarity_topk_filtered_ivfpq", "similarity_filtered_ivfpq_recall",
     "similarity_upsert_serve_fresh", "retrieval_filtered_fused_mmr",
     "dedup_semantic_semdedup", "dedup_semantic_incremental",
-    "similarity_ivf_delete_serve",
+    "similarity_ivf_delete_serve", "dedup_semantic_stream",
 ]
 
 

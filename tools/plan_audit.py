@@ -39,6 +39,7 @@ SKIP = {
     "similarity_pq_upsert_stream",
     "dedup_minhash_stream",
     "sketch_countmin_stream",
+    "dedup_semantic_stream",
 }
 
 #: Documented deliberate small-broadcast nested loops.
