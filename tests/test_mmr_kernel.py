@@ -113,3 +113,80 @@ def test_empty_group_returns_schema_stable_empty():
         "sel_rank",
     ]
     assert out.empty
+
+
+# --- property pin: kernel == independent greedy reference --------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+if HAVE_HYP:
+
+    def _reference_mmr(rel, sims):
+        """Straight-line reimplementation of the oracle's greedy rounds
+        (independent of the kernel's data structures)."""
+        out = []
+        sel = []
+        cands = sorted(rel, key=lambda c: (-rel[c], c))
+        if not cands:
+            return out
+        out.append((cands[0], MMR_REL_W * rel[cands[0]], 1))
+        sel.append(cands[0])
+        for t in range(2, MMR_SELECT + 1):
+            scored = []
+            for c in rel:
+                if c in sel:
+                    continue
+                ss = [sims[(c, s)] for s in sel if (c, s) in sims]
+                if not ss:
+                    continue
+                scored.append(
+                    (MMR_REL_W * rel[c] - MMR_DIV_W * max(ss), c)
+                )
+            if not scored:
+                break
+            score, pick = max(scored, key=lambda x: (x[0], -x[1]))
+            out.append((pick, score, t))
+            sel.append(pick)
+        return out
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.dictionaries(
+            st.integers(0, 30),
+            st.integers(-10_000, 10_000),
+            min_size=1,
+            max_size=12,
+        ),
+        st.data(),
+    )
+    def test_kernel_matches_reference_on_random_groups(rel, data):
+        ids = sorted(rel)
+        sims = {}
+        for a in ids:
+            for b in ids:
+                if a != b:
+                    # draw each directed sim independently: the SQL pair
+                    # table is built from two cosine evaluations, so the
+                    # kernel must not assume symmetry
+                    sims[(a, b)] = data.draw(
+                        st.integers(-10_000, 10_000)
+                    )
+        bdf = pd.DataFrame(
+            [(1, n, r) for n, r in rel.items()],
+            columns=["query_id", "neighbor_id", "rel_e4"],
+        )
+        pdf = pd.DataFrame(
+            [(1, a, b, s) for (a, b), s in sims.items()],
+            columns=["qid", "a", "b", "sim_e4"],
+        )
+        got = [
+            (int(r.neighbor_id), int(r.mmr_score), int(r.sel_rank))
+            for r in _mmr_kernel(bdf, pdf).itertuples()
+        ]
+        assert got == _reference_mmr(rel, sims)
