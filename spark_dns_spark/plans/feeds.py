@@ -123,9 +123,17 @@ def _disk_publish(target: str, build: Callable[[str], None]) -> str:
     os.makedirs(parent, exist_ok=True)
     tmp = os.path.join(parent, f".build_{os.getpid()}_{uuid.uuid4().hex[:8]}")
     os.makedirs(tmp)  # parity with scratch_dir: builders get a live dir
-    build(tmp)
-    with open(os.path.join(tmp, _DONE_MARKER), "w") as fh:
-        fh.write("ok\n")
+    try:
+        build(tmp)
+        with open(os.path.join(tmp, _DONE_MARKER), "w") as fh:
+            fh.write("ok\n")
+    except BaseException:
+        # A mid-build failure (disk-full/quota AFTER makedirs succeeded)
+        # must not strand the half-written temp dir under the cache root
+        # — they accumulate across failures (ADVICE r12).  The caller's
+        # fallback re-runs build() into scratch.
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     try:
         os.rename(tmp, target)
         return target

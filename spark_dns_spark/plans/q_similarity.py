@@ -373,10 +373,15 @@ def load_cents(spark: SparkSession, cents_dir: str):
     scales), else the parquet path itself (each worker loads the
     matrix; no driver collect).  Emptiness semantics are preserved:
     an empty index yields ``[]`` (falsy), the path branch only occurs
-    for KC >= 16384 (truthy)."""
-    import pyarrow.dataset as ds  # noqa: PLC0415 — cheap, metadata-only
+    for KC >= 16384 (truthy).
 
-    if ds.dataset(cents_dir).count_rows() >= KC_DRIVER_MAX:
+    The row count comes from parquet FOOTER metadata via
+    :func:`km.parquet_dir_rows` (pyarrow.parquet, loaded at module
+    import) — the previous mid-query ``import pyarrow.dataset`` here
+    mapped a fresh native .so per driver process and died under the
+    r12 driver sandbox's memory pressure, failing 10/50 gate queries
+    (VERDICT r12 item 1)."""
+    if km.parquet_dir_rows(cents_dir) >= KC_DRIVER_MAX:
         return cents_dir
     rows = spark.read.parquet(cents_dir).orderBy("cell").collect()
     return [[int(x) for x in r["cv"]] for r in rows]
@@ -1339,7 +1344,10 @@ def dedup_semantic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ] if os.path.isdir(out) else []
     if not batch_outs:
         return spark.createDataFrame([], empty_schema)
-    return spark.read.parquet(*batch_outs)
+    # explicit schema: batch dirs that exist but hold zero part files
+    # (both waves empty at an untested scale factor) would otherwise
+    # fail schema inference (ADVICE r12)
+    return spark.read.schema(empty_schema).parquet(*batch_outs)
 
 
 @register(

@@ -74,7 +74,12 @@ def configure_duck(con) -> None:
     limit_gb = max(1, min(16, int(ram_gb * 0.4)))
     env_gb = os.environ.get("SPARK_GRAFT_DUCK_MEM_GB")
     if env_gb:
-        limit_gb = max(1, min(int(env_gb), int(ram_gb * 0.8)))
+        try:
+            limit_gb = max(1, min(int(env_gb), int(ram_gb * 0.8)))
+        except ValueError:
+            # malformed override ('16GB', '') must not kill the whole
+            # oracle run — keep the coexistence cap (ADVICE r12)
+            pass
     con.execute("SET threads=8")
     con.execute(f"SET memory_limit='{limit_gb}GB'")
     # spill dir cleaned up on interpreter exit (same pattern as

@@ -49,8 +49,37 @@ sys.path.insert(0, str(REPO))
 TRACE = REPO / ".gate_trace.jsonl"
 
 
+class _NativeImportBlocker:
+    """Meta-path finder that FAILS any import which would load a fresh
+    native extension (``.so``/``.pyd``) — the r12 driver's observed
+    kill mode was exactly this: a mid-query ``import pyarrow.dataset``
+    mmap'ing ``_dataset.so`` under memory pressure ("failed to map
+    segment").  Installed (``--import-hostile``) AFTER the session and
+    catalog are built, it proves no query pulls in a new native library
+    after warm-up — deterministic where the sandbox was flaky."""
+
+    def find_spec(self, name, path=None, target=None):
+        import importlib.machinery as m
+        import sys as _s
+
+        if name in _s.modules:
+            return None
+        try:
+            spec = m.PathFinder.find_spec(name, path)
+        except Exception:
+            return None
+        if spec and spec.origin and spec.origin.endswith((".so", ".pyd")):
+            raise ImportError(
+                f"import-hostile mode: query tried to load a NEW native "
+                f"extension mid-run: {name} ({spec.origin}) — preload it "
+                f"at module import time (VERDICT r12 item 5)"
+            )
+        return None  # pure-Python / builtin: let the normal finders run
+
+
 # ---------------------------------------------------------------- child
-def child_main(sf_dir: str, n: int, out_path: str) -> int:
+def child_main(sf_dir: str, n: int, out_path: str,
+               import_hostile: bool = False) -> int:
     """Run the first-``n`` catalog window on a vanilla session; buffer
     every result; write JSON once at the very end (hostile pattern)."""
     os.environ["SPARK_GRAFT_TRACE"] = "1"  # exercise the breadcrumbs
@@ -81,6 +110,18 @@ def child_main(sf_dir: str, n: int, out_path: str) -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     window = list(qs)[:n]
+
+    if import_hostile:
+        # Preload what session build legitimately needs (all already in
+        # sys.modules via the catalog import — q_kmeans pulls
+        # pyarrow.parquet at module import; toPandas pulls pyarrow),
+        # then slam the door on NEW native extensions for the run.
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+        import pyarrow.parquet  # noqa: F401
+
+        sys.meta_path.insert(0, _NativeImportBlocker())
+        print("child: import-hostile mode ON (new native .so imports fail)")
 
     results: dict[str, dict] = {}  # buffered — only flushed at the end
     for name in window:
@@ -152,6 +193,8 @@ def parent_main(args) -> int:
 
     cmd = [sys.executable, __file__, "--child", "--sf", args.sf,
            "--n", str(args.n), "--child-out", str(child_out)]
+    if getattr(args, "import_hostile", False):
+        cmd.append("--import-hostile")
     t0 = time.time()
     timed_out = False
     proc = subprocess.Popen(
@@ -210,6 +253,7 @@ def parent_main(args) -> int:
         "wall_s": wall,
         "timeout_s": args.timeout,
         "mem_gb_rlimit": args.mem_gb,
+        "import_hostile": bool(getattr(args, "import_hostile", False)),
         "sf": args.sf,
         "window_n": args.n,
         "concurrent_bench": bench_rec,
@@ -247,8 +291,13 @@ if __name__ == "__main__":
     ap.add_argument("--concurrent-bench", action="store_true",
                     help="run `python bench.py` alongside the window "
                          "(the r11 driver's trace-proven scheduling)")
+    ap.add_argument("--import-hostile", action="store_true",
+                    help="after session+catalog build, fail any import "
+                         "that would load a NEW native .so (the r12 "
+                         "driver sandbox's observed kill mode)")
     ap.add_argument("--json", default="")
     a = ap.parse_args()
     if a.child:
-        sys.exit(child_main(a.sf, a.n, a.child_out))
+        sys.exit(child_main(a.sf, a.n, a.child_out,
+                            import_hostile=a.import_hostile))
     sys.exit(parent_main(a))
