@@ -44,6 +44,17 @@ def _trace(phase: str, name: str | None = None, **extra) -> None:
         return
     try:
         rec = {"ts": round(time.time(), 3), "pid": os.getpid(), "phase": phase}
+        try:
+            # current RSS (MB) of the harness process: the r12 window
+            # died to memory pressure (a .so mmap and a DuckDB malloc);
+            # with RSS on every breadcrumb, the NEXT pressure kill is
+            # attributable from the surviving trail alone.
+            with open("/proc/self/statm") as sf:
+                rec["rss_mb"] = (
+                    int(sf.read().split()[1]) * os.sysconf("SC_PAGE_SIZE")
+                ) >> 20
+        except Exception:
+            pass
         if name is not None:
             rec["name"] = name
         if extra:

@@ -186,6 +186,37 @@ def test_load_cb_poisoned(tmp_path, poisoned_pyarrow_dataset):
     assert km.parquet_dir_rows(cents_dir) == 4
 
 
+def test_native_import_blocker_blocks_fresh_so_only():
+    """tools/gate_repro._NativeImportBlocker: a NEW .so-backed module
+    import raises; pure-Python and already-loaded modules pass."""
+    sys.path.insert(0, str(PKG.parent / "tools"))
+    try:
+        from gate_repro import _NativeImportBlocker
+    finally:
+        sys.path.pop(0)
+
+    blocker = _NativeImportBlocker()
+    sys.meta_path.insert(0, blocker)
+    try:
+        import wave  # noqa: F401 — pure-Python stdlib: must pass
+
+        # a native extension NOT yet loaded in this process must fail;
+        # _curses/_multibytecodec ship with CPython as .so and are not
+        # imported by the suite — pick the first not-yet-loaded one
+        victim = next(
+            (m for m in ("_curses", "_multibytecodec", "audioop")
+             if m not in sys.modules),
+            None,
+        )
+        if victim is not None:
+            with pytest.raises(ImportError, match="import-hostile"):
+                __import__(victim)
+        # already-loaded modules keep working regardless
+        import math  # noqa: F401
+    finally:
+        sys.meta_path.remove(blocker)
+
+
 def test_in_window_ann_query_poisoned(spark, sf_dir, poisoned_pyarrow_dataset):
     """End-to-end: an r12-red in-window query runs green with the
     poison active (the driver's exact failure, now impossible)."""
