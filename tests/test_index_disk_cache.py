@@ -159,3 +159,34 @@ def test_unwritable_root_degrades_to_scratch(tmp_path, monkeypatch):
         name="t",
     )
     assert p2 == p and len(calls) == 1
+
+
+def test_mid_build_failure_leaves_no_temp_dir(cache_env):
+    """A build that dies AFTER makedirs (disk-full/quota mid-write) must
+    not strand its .build_* temp dir under the cache root — they would
+    accumulate across failures (ADVICE r12).  The caller's except arm
+    then degrades to scratch, so the query still runs."""
+    root, sf = cache_env
+    calls: list = []
+
+    def exploding(out: str) -> None:
+        calls.append(out)
+        if len(calls) == 1:  # only the disk-publish attempt dies
+            raise OSError(28, "No space left on device", out)
+        with open(os.path.join(out, "payload"), "w") as fh:
+            fh.write("built\n")
+
+    p = feeds.cached_index_path(
+        {}, sf, "embeddings.parquet", exploding, name="t"
+    )
+    # degraded to scratch and built there
+    assert open(os.path.join(p, "payload")).read() == "built\n"
+    assert not str(p).startswith(root)
+    # the failed publish cleaned up after itself
+    leftovers = [
+        d
+        for base, dirs, _ in os.walk(root)
+        for d in dirs
+        if d.startswith(".build_")
+    ]
+    assert leftovers == [], f"stranded temp build dirs: {leftovers}"

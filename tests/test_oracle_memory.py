@@ -76,3 +76,24 @@ def test_oracle_runs_under_500mb(name: str, sql: str):
                 )
         df = con.execute(sql).df()
     assert len(df) > 0, f"{name}: starved oracle returned no rows"
+
+
+def test_configure_duck_tolerates_malformed_env(monkeypatch):
+    """A malformed SPARK_GRAFT_DUCK_MEM_GB ('16GB', ' ') must not kill
+    the oracle run — fall back to the computed coexistence cap
+    (ADVICE r12)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.check_oracle import configure_duck
+
+    for bad in ("16GB", "", "  ", "4.5"):
+        monkeypatch.setenv("SPARK_GRAFT_DUCK_MEM_GB", bad)
+        con = duckdb.connect()
+        configure_duck(con)  # must not raise
+        lim = con.execute(
+            "SELECT current_setting('memory_limit')"
+        ).fetchone()[0]
+        assert lim  # a limit was still applied
+        con.close()
