@@ -186,6 +186,35 @@ def test_load_cb_poisoned(tmp_path, poisoned_pyarrow_dataset):
     assert km.parquet_dir_rows(cents_dir) == 4
 
 
+def test_loader_empty_dir_semantics(spark, tmp_path, poisoned_pyarrow_dataset):
+    """load_cents on an EMPTY index dir keeps the documented emptiness
+    contract (-> [] , falsy); read_parquet_dir names the problem
+    instead of failing opaquely."""
+    from spark_dns_spark.plans import q_kmeans as km
+    from spark_dns_spark.plans import q_similarity as qs
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "empty"
+    d.mkdir()
+    (d / "_SUCCESS").touch()
+    # an empty index a Spark coalesce(1) write leaves behind: ONE part
+    # file with zero rows (schema present, no data)
+    t = pa.table(
+        {"cell": pa.array([], pa.int64()),
+         "cv": pa.array([], pa.list_(pa.int64()))}
+    )
+    pq.write_table(t, str(d / "part-00000.snappy.parquet"))
+    assert km.parquet_dir_rows(str(d)) == 0
+    assert qs.load_cents(spark, str(d)) == []
+
+    partless = tmp_path / "partless"
+    partless.mkdir()
+    with pytest.raises(FileNotFoundError, match="no parquet part files"):
+        km.read_parquet_dir(str(partless), ["cell", "cv"])
+
+
 def test_native_import_blocker_blocks_fresh_so_only():
     """tools/gate_repro._NativeImportBlocker: a NEW .so-backed module
     import raises; pure-Python and already-loaded modules pass."""
