@@ -281,6 +281,19 @@ def main() -> None:
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     )
+    # ANN/retrieval tier subtotal (VERDICT r13 item 5): the tier has
+    # drifted upward two driver rounds in a row; a named subtotal in
+    # the compact line makes tier drift visible without BENCH_DETAIL
+    # archaeology.  Membership is by name prefix — the serving-stack
+    # families (ANN serves/recalls/maintenance, BM25, fused retrieval).
+    ann_tier_sum = round(
+        sum(
+            t
+            for q, t in timings.items()
+            if q.startswith(("similarity_", "retrieval_", "index_bm25_"))
+        ),
+        3,
+    )
     out = {
         "metric": "headline_queries_total",
         "value": detail["value"],
@@ -292,6 +305,7 @@ def main() -> None:
             str(b): prefix_sum(count_only, b) for b in bounds
         },
         "top5_slowest": slowest,
+        "ann_tier_sum": ann_tier_sum,
         "n_errors": len(errors),
         "n_skipped": len(skipped),
         "detail_file": detail_path.name,

@@ -15,12 +15,40 @@ Conventions (driver contract):
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from spark_dns_spark.session import release_all_caches, tune
+
+#: CTE-definition matcher for :func:`materialize_ctes` (lowercase CTE
+#: names only, the catalog convention; never matches an existing
+#: ``AS MATERIALIZED (`` because the keyword is uppercase).
+_CTE_DEF = re.compile(r"\b([a-z_0-9]+) AS \(")
+
+#: Oracle texts with at least this many CTE definitions get every CTE
+#: forced to ``AS MATERIALIZED``.  DuckDB INLINES each CTE reference:
+#: a deep shared chain (the IVF/PQ train+serve oracles re-reference
+#: q/cents/sub/codebook CTEs throughout) expands to a plan with many
+#: hundreds of operators (739 for similarity_topk_ivfpq at r13), and
+#: per-operator buffer reservations alone then exceed a few hundred MB
+#: REGARDLESS of data size — the r13 driver's no-spill DuckDB OOM'd on
+#: exactly the 5 deepest texts over a 500-row corpus (VERDICT r13 item
+#: 1).  Materializing executes each CTE once and collapses the plan
+#: (similarity_topk_ivfpq: OOM at 400 MB -> green at 200 MB, 0.6 s).
+#: Shallow oracles (TPC-H etc.) keep inlining and its pushdown wins.
+MAT_CTE_MIN = 8
+
+
+def materialize_ctes(sql: str) -> str:
+    """Force ``AS MATERIALIZED`` on every CTE of a deep oracle text
+    (idempotent; skips ``WITH RECURSIVE`` texts — DuckDB cannot
+    materialize recursive CTE members)."""
+    if "RECURSIVE" in sql:
+        return sql
+    return _CTE_DEF.sub(r"\1 AS MATERIALIZED (", sql)
 
 
 @dataclass
@@ -608,6 +636,13 @@ _ROTATION_R11: dict[str, int] = {
 #: Inside the driver's window but ordered LAST (see Query.tier).
 TIER_WINDOW_TAIL = 5.5
 
+#: Size of the driver's rotating correctness window (the first N
+#: catalog entries).  Single source of truth for the starve gate
+#: (tests/test_oracle_memory.py) and the gate-repro harness
+#: (tools/gate_repro.py --n default) — ADVICE r13: the two previously
+#: re-hardcoded 50 independently.
+DRIVER_WINDOW_N = 50
+
 #: Round-12 rotation, layered over r4..r11 (later map wins).  VERDICT
 #: r11 item 1: the gate died at window slot 35/50 inside a 16-entry
 #: ANN tier that sat in the MIDDLE of the window, forfeiting the ten
@@ -667,6 +702,9 @@ def register(
     tier: int = 5,
 ) -> Callable:
     """Decorator: add a (spark, sf_dir) -> DataFrame builder to the catalog."""
+
+    if sql is not None and len(_CTE_DEF.findall(sql)) >= MAT_CTE_MIN:
+        sql = materialize_ctes(sql)
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -51,6 +51,14 @@ ITERS = 2  #: Lloyd iterations (assign -> update, twice; then final assign)
 SCALE = 1000  #: integer quantization: q_i = floor(v_i * SCALE + 0.5)
 DIM = sim.DIM
 
+#: Injective (d, cell) -> d*ENC + cell encode for the one-aggregate
+#: argmin (min of the encode, then % / // to decode).  Requires
+#: cell < ENC (kc = isqrt(n) < 2^20 up to n = 10^12 vectors) and
+#: d * ENC within BIGINT: d <= DIM * (2*SCALE*|v|max)^2 ~ 2.4e9 even
+#: at |v|max = 4 (embeddings are ~unit scale, |v| < 0.6 in the
+#: testdata), so d*ENC <~ 2.5e15 << 2^63.
+ARGMIN_ENC = 1 << 20
+
 
 def dist_sql(qv: str, cv: str) -> str:
     """DuckDB integer ||qv - cv||^2 fold over two BIGINT lists (1-based)."""
@@ -142,24 +150,36 @@ def lloyd_cents_sql(kc: int | str, iters: int) -> tuple[str, str]:
   ) WHERE cell < {kc}
 )"""
     ]
+    # Operator-lean argmin (VERDICT r13 item 1): the assignment is ONE
+    # hash aggregate over skinny (vec_id, cell, d) rows — min of the
+    # injective encode d*ENC + cell, decoded with % (ties break to the
+    # smaller cell exactly like the previous ORDER BY d, cell window).
+    # The former shape (row_number window whose ORDER BY dragged two
+    # DIM-element BIGINT lists through the sort, plus an unnest-join
+    # update aggregate) put enough extra blocking operators in the
+    # inlined plan that the driver's no-spill ~300 MB DuckDB OOM'd on
+    # the deep IVF/PQ oracle texts over a 500-row corpus.  The update
+    # is likewise one aggregate with DIM explicit sums (floor(sum/cnt),
+    # identical arithmetic to the old per-i unnest form).
+    cv_sums = ", ".join(
+        f"CAST(floor((sum(qv[{i}]))::DOUBLE / count(*)) AS BIGINT)"
+        for i in range(1, DIM + 1)
+    )
     for t in range(1, iters):
         parts.append(
             f"""
 , a{t} AS (
-  SELECT vec_id, qv, cell FROM (
-    SELECT q.vec_id, q.qv, c.cell,
-           row_number() OVER (
-             PARTITION BY q.vec_id
-             ORDER BY {dist_sql("q.qv", "c.cv")} ASC, c.cell) AS rn
-    FROM q, c{t - 1} c
-  ) WHERE rn = 1
-), u{t} AS (
-  SELECT cell, i,
-         CAST(floor((sum(qv[i]))::DOUBLE / count(*)) AS BIGINT) AS c
-  FROM a{t}, (SELECT unnest(generate_series(1, {DIM})) AS i)
-  GROUP BY cell, i
+  SELECT w.vec_id, q.qv, w.cell FROM (
+    SELECT vec_id,
+           CAST(min(d * {ARGMIN_ENC} + cell) % {ARGMIN_ENC} AS BIGINT)
+             AS cell
+    FROM (SELECT q.vec_id, c.cell, {dist_sql("q.qv", "c.cv")} AS d
+          FROM q, c{t - 1} c)
+    GROUP BY vec_id
+  ) w JOIN q ON q.vec_id = w.vec_id
 ), g{t} AS (
-  SELECT cell, list(c ORDER BY i) AS cv FROM u{t} GROUP BY cell
+  SELECT cell, [{cv_sums}] AS cv
+  FROM a{t} GROUP BY cell
 ), c{t} AS (
   SELECT p.cell, coalesce(g.cv, p.cv) AS cv
   FROM c{t - 1} p LEFT JOIN g{t} g USING (cell)
@@ -234,12 +254,28 @@ def cells_udf(cents: list[list[int]], kk: int):
 
 def _parquet_part_files(path: str) -> list[str]:
     """The data files of a Spark-written parquet directory (sorted for
-    determinism; `_SUCCESS`/CRC markers excluded by the suffix test)."""
-    return sorted(
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".parquet")
+    determinism; `_SUCCESS`/CRC markers excluded by the suffix test).
+
+    FLAT layouts only — every index/centroid dir in this repo is
+    written ``coalesce(1)`` flat.  A partitioned (nested) write would
+    otherwise count 0 rows here and silently push ``load_cents`` onto
+    the driver-collect branch for an arbitrarily large index — exactly
+    the OOM ``KC_DRIVER_MAX`` guards against — so a dir that contains
+    subdirectories but no top-level data files fails LOUDLY instead
+    (ADVICE r13)."""
+    entries = os.listdir(path)
+    files = sorted(
+        os.path.join(path, f) for f in entries if f.endswith(".parquet")
     )
+    if not files and any(
+        os.path.isdir(os.path.join(path, f)) for f in entries
+    ):
+        raise ValueError(
+            f"parquet dir {path!r} has subdirectories but no top-level "
+            f".parquet files — partitioned layout is not supported here "
+            f"(write coalesce(1) flat, or teach the loaders to recurse)"
+        )
+    return files
 
 
 def parquet_dir_rows(path: str) -> int:

@@ -101,25 +101,34 @@ def _pq_chain_body() -> str:
   SELECT m, cell, {subv} AS cv FROM pseeds, ms
 )"""
     ]
+    # Operator-lean argmin (VERDICT r13 item 1, the lloyd_cents_sql
+    # shape): ONE hash aggregate per round over skinny (vec_id, m,
+    # cell, d) rows — min of the injective d*ENC + cell encode, ties
+    # decoded to the smaller cell exactly like the previous ORDER BY
+    # d, cell window.  The update is one aggregate with SUBD explicit
+    # sums.  Fewer blocking operators per round keeps the deep
+    # composed oracle texts inside the driver's no-spill DuckDB
+    # budget (plan size, not data size, was the r13 OOM).
+    cv_sums = ", ".join(
+        f"CAST(floor((sum(sv[{i}]))::DOUBLE / count(*)) AS BIGINT)"
+        for i in range(1, SUBD + 1)
+    )
     for t in range(1, PQ_ITERS):
         d_cur = _sv_dist_sql("b.sv", "s.cv")
         parts.append(
             f"""
 , pa{t} AS (
-  SELECT vec_id, m, sv, cell FROM (
-    SELECT b.vec_id, b.m, b.sv, s.cell,
-           row_number() OVER (
-             PARTITION BY b.vec_id, b.m
-             ORDER BY {d_cur} ASC, s.cell) AS rn
-    FROM sub b JOIN ps{t - 1} s ON s.m = b.m
-  ) WHERE rn = 1
-), pu{t} AS (
-  SELECT m, cell, i,
-         CAST(floor((sum(sv[i]))::DOUBLE / count(*)) AS BIGINT) AS c
-  FROM pa{t}, (SELECT unnest(generate_series(1, {SUBD})) AS i)
-  GROUP BY m, cell, i
+  SELECT w.vec_id, w.m, b.sv, w.cell FROM (
+    SELECT vec_id, m,
+           CAST(min(d * {km.ARGMIN_ENC} + cell) % {km.ARGMIN_ENC}
+                AS BIGINT) AS cell
+    FROM (SELECT b.vec_id, b.m, s.cell, {d_cur} AS d
+          FROM sub b JOIN ps{t - 1} s ON s.m = b.m)
+    GROUP BY vec_id, m
+  ) w JOIN sub b ON b.vec_id = w.vec_id AND b.m = w.m
 ), pg{t} AS (
-  SELECT m, cell, list(c ORDER BY i) AS cv FROM pu{t} GROUP BY m, cell
+  SELECT m, cell, [{cv_sums}] AS cv
+  FROM pa{t} GROUP BY m, cell
 ), ps{t} AS (
   SELECT s.m, s.cell, coalesce(g.cv, s.cv) AS cv
   FROM ps{t - 1} s
@@ -130,13 +139,15 @@ def _pq_chain_body() -> str:
     parts.append(
         f"""
 , fin AS (
-  SELECT vec_id, m, cell, d FROM (
-    SELECT b.vec_id, b.m, s.cell, {d_fin} AS d,
-           row_number() OVER (
-             PARTITION BY b.vec_id, b.m
-             ORDER BY {d_fin} ASC, s.cell) AS rn
-    FROM sub b JOIN ps{PQ_ITERS - 1} s ON s.m = b.m
-  ) WHERE rn = 1
+  SELECT vec_id, m,
+         CAST(mc % {km.ARGMIN_ENC} AS BIGINT) AS cell,
+         CAST(mc // {km.ARGMIN_ENC} AS BIGINT) AS d
+  FROM (
+    SELECT vec_id, m, min(d * {km.ARGMIN_ENC} + cell) AS mc
+    FROM (SELECT b.vec_id, b.m, s.cell, {d_fin} AS d
+          FROM sub b JOIN ps{PQ_ITERS - 1} s ON s.m = b.m)
+    GROUP BY vec_id, m
+  )
 )"""
     )
     return "".join(parts)
@@ -460,30 +471,32 @@ def _adc_sql() -> str:
   SELECT vec_id AS query_id, qv FROM q, qn WHERE vec_id % qn.m = 0
 ), ex AS (
   SELECT query_id, neighbor_id FROM (
-    SELECT qr.query_id, dd.vec_id AS neighbor_id,
+    SELECT query_id, neighbor_id,
            row_number() OVER (
-             PARTITION BY qr.query_id
-             ORDER BY {km.dist_sql("qr.qv", "dd.qv")} ASC, dd.vec_id) AS rn
-    FROM qrs qr JOIN q dd ON dd.vec_id <> qr.query_id
+             PARTITION BY query_id ORDER BY d ASC, neighbor_id) AS rn
+    FROM (SELECT qr.query_id, dd.vec_id AS neighbor_id,
+                 {km.dist_sql("qr.qv", "dd.qv")} AS d
+          FROM qrs qr JOIN q dd ON dd.vec_id <> qr.query_id)
   ) WHERE rn <= {RECALL_K}
 ), sl AS (
   SELECT query_id, neighbor_id FROM (
-    SELECT qr.query_id, rc.vec_id AS neighbor_id,
+    SELECT query_id, neighbor_id,
            row_number() OVER (
-             PARTITION BY qr.query_id
-             ORDER BY {km.dist_sql("qr.qv", "rc.rv")} ASC, rc.vec_id) AS rn
-    FROM qrs qr JOIN recon rc ON rc.vec_id <> qr.query_id
+             PARTITION BY query_id ORDER BY d ASC, neighbor_id) AS rn
+    FROM (SELECT qr.query_id, rc.vec_id AS neighbor_id,
+                 {km.dist_sql("qr.qv", "rc.rv")} AS d
+          FROM qrs qr JOIN recon rc ON rc.vec_id <> qr.query_id)
   ) WHERE rn <= greatest({SHORTLIST_MIN},
                          (SELECT count(*) FROM q) // {SHORTLIST_DIV})
 ), ad AS (
   SELECT query_id, neighbor_id FROM (
-    SELECT sl.query_id, sl.neighbor_id,
+    SELECT query_id, neighbor_id,
            row_number() OVER (
-             PARTITION BY sl.query_id
-             ORDER BY {km.dist_sql("qr.qv", "dd.qv")} ASC,
-                      sl.neighbor_id) AS rn
-    FROM sl JOIN qrs qr ON qr.query_id = sl.query_id
-            JOIN q dd ON dd.vec_id = sl.neighbor_id
+             PARTITION BY query_id ORDER BY d ASC, neighbor_id) AS rn
+    FROM (SELECT sl.query_id, sl.neighbor_id,
+                 {km.dist_sql("qr.qv", "dd.qv")} AS d
+          FROM sl JOIN qrs qr ON qr.query_id = sl.query_id
+                  JOIN q dd ON dd.vec_id = sl.neighbor_id)
   ) WHERE rn <= {RECALL_K}
 )
 SELECT ex.query_id,
@@ -630,17 +643,18 @@ def _topk_by(pairs: DataFrame, dist: F.Column, k: int) -> DataFrame:
 IVFPQ_SHORT_MIN = 10 * qs.K
 IVFPQ_SHORT_DIV = 10
 
-_IVFPQ_SQL = (
+_IVFPQ_CHAIN = (
     qs._IVF_CTE
     + f"""
 , probes AS (
   SELECT query_id, cell FROM (
-    SELECT q.vec_id AS query_id, c.cell,
+    SELECT query_id, cell,
            row_number() OVER (
-             PARTITION BY q.vec_id
-             ORDER BY {km.dist_sql("q.qv", "c.cv")} ASC, c.cell) AS rn
-    FROM (SELECT * FROM q WHERE vec_id % {qs.QMOD} = 0) q,
-         {qs._IVF_CENTS_CTE} c
+             PARTITION BY query_id ORDER BY d ASC, cell) AS rn
+    FROM (SELECT q.vec_id AS query_id, c.cell,
+                 {km.dist_sql("q.qv", "c.cv")} AS d
+          FROM (SELECT * FROM q WHERE vec_id % {qs.QMOD} = 0) q,
+               {qs._IVF_CENTS_CTE} c)
   ) WHERE rn <= (SELECT np FROM nprm)
 ), icand AS (
   SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
@@ -651,20 +665,21 @@ _IVFPQ_SQL = (
     + f"""
 , cand AS (
   SELECT query_id, neighbor_id FROM (
-    SELECT ic.query_id, ic.neighbor_id,
+    SELECT query_id, neighbor_id,
            row_number() OVER (
-             PARTITION BY ic.query_id
-             ORDER BY {km.dist_sql("qq.qv", "rc.rv")} ASC,
-                      ic.neighbor_id) AS rn
-    FROM icand ic
-    JOIN q qq ON qq.vec_id = ic.query_id
-    JOIN recon rc ON rc.vec_id = ic.neighbor_id
+             PARTITION BY query_id ORDER BY d ASC, neighbor_id) AS rn
+    FROM (SELECT ic.query_id, ic.neighbor_id,
+                 {km.dist_sql("qq.qv", "rc.rv")} AS d
+          FROM icand ic
+          JOIN q qq ON qq.vec_id = ic.query_id
+          JOIN recon rc ON rc.vec_id = ic.neighbor_id)
   ) WHERE rn <= greatest({IVFPQ_SHORT_MIN},
                          (SELECT count(*) FROM q) // {IVFPQ_SHORT_DIV})
 )
 """
-    + qs._scored_topk_sql("")
 )
+
+_IVFPQ_SQL = _IVFPQ_CHAIN + qs._scored_topk_sql("")
 
 
 @register(
@@ -738,20 +753,30 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_ivfpq_recall",
-    f"""
-WITH bf AS (
-  SELECT query_id, neighbor_id FROM ({qs._BF_SQL})
-), ivfpq AS (
-  SELECT query_id, neighbor_id FROM ({_IVFPQ_SQL})
+    # ONE shared WITH chain (VERDICT r13 item 1): the previous form
+    # nested the full brute-force AND IVF-PQ serve texts as separate
+    # derived-table subqueries, so the corpus/centroid/codebook CTEs
+    # were planned and executed twice — the doubled plan is what blew
+    # the driver's no-spill DuckDB budget.  Here the serve chain is
+    # built once and the brute-force truth is two extra CTEs over the
+    # already-shared n.
+    _IVFPQ_CHAIN
+    + f"""
+, ivfk AS ({qs._scored_topk_body("cand")}
+), bfc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id % {qs.QMOD} = 0
+), bfk AS ({qs._scored_topk_body("bfc")}
 )
-SELECT bf.query_id,
-       sum(CASE WHEN ivfpq.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+SELECT bfk.query_id,
+       sum(CASE WHEN iv.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
          AS hits,
-       (sum(CASE WHEN ivfpq.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       (sum(CASE WHEN iv.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
          * {10000 // qs.K})::BIGINT AS recall_e4
-FROM bf LEFT JOIN ivfpq
-  ON ivfpq.query_id = bf.query_id AND ivfpq.neighbor_id = bf.neighbor_id
-GROUP BY bf.query_id
+FROM bfk LEFT JOIN ivfk iv
+  ON iv.query_id = bfk.query_id AND iv.neighbor_id = bfk.neighbor_id
+GROUP BY bfk.query_id
 """,
     doc=f"self-measuring ANN quality for the composed IVF-PQ serve: "
     f"recall@{qs.K} against the exact brute-force ground truth per "
@@ -1031,7 +1056,7 @@ _FLCNT_CTE = f"""
   SELECT greatest(count(DISTINCT vec_id % {qs.RARE_MOD}), 1) AS nl FROM e
 )"""
 
-_FILT_IVFPQ_SQL = (
+_FILT_IVFPQ_CHAIN = (
     qs._IVF_CTE
     + f"""
 , rlab AS (
@@ -1042,12 +1067,13 @@ _FILT_IVFPQ_SQL = (
     + f"""
 , probes AS (
   SELECT query_id, cell FROM (
-    SELECT q.vec_id AS query_id, c.cell,
+    SELECT query_id, cell,
            row_number() OVER (
-             PARTITION BY q.vec_id
-             ORDER BY {km.dist_sql("q.qv", "c.cv")} ASC, c.cell) AS rn
-    FROM (SELECT * FROM q WHERE vec_id % {qs.QMOD} = 0) q,
-         {qs._IVF_CENTS_CTE} c
+             PARTITION BY query_id ORDER BY d ASC, cell) AS rn
+    FROM (SELECT q.vec_id AS query_id, c.cell,
+                 {km.dist_sql("q.qv", "c.cv")} AS d
+          FROM (SELECT * FROM q WHERE vec_id % {qs.QMOD} = 0) q,
+               {qs._IVF_CENTS_CTE} c)
   ) WHERE rn <= (SELECT wd FROM lprm) * (SELECT np FROM nprm)
 ), icand AS (
   SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
@@ -1061,21 +1087,22 @@ _FILT_IVFPQ_SQL = (
     + f"""
 , cand AS (
   SELECT query_id, neighbor_id FROM (
-    SELECT ic.query_id, ic.neighbor_id,
+    SELECT query_id, neighbor_id,
            row_number() OVER (
-             PARTITION BY ic.query_id
-             ORDER BY {km.dist_sql("qq.qv", "rc.rv")} ASC,
-                      ic.neighbor_id) AS rn
-    FROM icand ic
-    JOIN q qq ON qq.vec_id = ic.query_id
-    JOIN recon rc ON rc.vec_id = ic.neighbor_id
+             PARTITION BY query_id ORDER BY d ASC, neighbor_id) AS rn
+    FROM (SELECT ic.query_id, ic.neighbor_id,
+                 {km.dist_sql("qq.qv", "rc.rv")} AS d
+          FROM icand ic
+          JOIN q qq ON qq.vec_id = ic.query_id
+          JOIN recon rc ON rc.vec_id = ic.neighbor_id)
   ) WHERE rn <= greatest({IVFPQ_SHORT_MIN},
                          (SELECT count(*) FROM q)
                            // ({IVFPQ_SHORT_DIV} * (SELECT nl FROM flcnt)))
 )
 """
-    + qs._scored_topk_sql("")
 )
+
+_FILT_IVFPQ_SQL = _FILT_IVFPQ_CHAIN + qs._scored_topk_sql("")
 
 
 def _filtered_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1190,16 +1217,18 @@ def similarity_topk_filtered_ivfpq(
     + f"""
 ), btr AS (
   SELECT query_id, neighbor_id FROM (
-    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    SELECT query_id, neighbor_id,
            row_number() OVER (
-             PARTITION BY q.vec_id
-             ORDER BY round({qs.sim.dot_sql("q.v", "c.v")} / (q.nm * c.nm), 4)
-                      DESC, c.vec_id) AS rank
-    FROM n q
-    JOIN e ec ON ec.vec_id % {qs.RARE_MOD} = q.vec_id % {qs.RARE_MOD}
-             AND ec.vec_id <> q.vec_id
-    JOIN n c ON c.vec_id = ec.vec_id
-    WHERE q.vec_id % {qs.QMOD} = 0
+             PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round({qs.sim.dot_sql("q.v", "c.v")} / (q.nm * c.nm), 4)
+                   AS cosine
+          FROM n q
+          JOIN e ec ON ec.vec_id % {qs.RARE_MOD} = q.vec_id % {qs.RARE_MOD}
+                   AND ec.vec_id <> q.vec_id
+          JOIN n c ON c.vec_id = ec.vec_id
+          WHERE q.vec_id % {qs.QMOD} = 0)
   ) WHERE rank <= {qs.K}
 )
 SELECT b.query_id,
@@ -1280,17 +1309,27 @@ def similarity_filtered_ivfpq_recall(
 # ---------------------------------------------------------------------------
 
 _FUSED_MMR_SQL = (
-    f"""
-WITH r1 AS (
-  SELECT query_id, neighbor_id, rank FROM ({qs._RARE_SQL})
-), r2 AS (
-  SELECT query_id, neighbor_id, rank FROM ({_FILT_IVFPQ_SQL})
+    # ONE shared WITH chain (VERDICT r13 item 1): the previous form
+    # nested the full RARE serve and the full filtered IVF-PQ serve as
+    # two independent derived-table subqueries — the corpus, centroid
+    # chain, postings, label, and widening CTEs were all planned and
+    # executed TWICE, and this 44.7 KB text was the single biggest
+    # oracle OOM on the driver's no-spill DuckDB.  Both serves share
+    # probes/icand verbatim (same widened bound, same label prune), so
+    # the fused chain computes them once: r1k is the RARE serve (exact
+    # re-rank of icand), r2k the IVF-PQ serve (ADC shortlist `cand`
+    # re-ranked), then RRF + greedy MMR exactly as before.  n replaces
+    # the old nv CTE — same vec_id/v/nm expressions, shared upstream.
+    _FILT_IVFPQ_CHAIN
+    + f"""
+, r1k AS ({qs._scored_topk_body("icand")}
+), r2k AS ({qs._scored_topk_body("cand")}
 ), allr AS (
   SELECT query_id, neighbor_id,
-         {qs.RRF_SCALE} // ({qs.RRF_K} + rank) AS contrib FROM r1
+         {qs.RRF_SCALE} // ({qs.RRF_K} + rank) AS contrib FROM r1k
   UNION ALL
   SELECT query_id, neighbor_id,
-         {qs.RRF_SCALE} // ({qs.RRF_K} + rank) AS contrib FROM r2
+         {qs.RRF_SCALE} // ({qs.RRF_K} + rank) AS contrib FROM r2k
 ), fusedt AS (
   SELECT query_id, neighbor_id,
          CAST(sum(contrib) AS BIGINT) AS rrf_e6
@@ -1302,17 +1341,14 @@ WITH r1 AS (
                               ORDER BY rrf_e6 DESC, neighbor_id) AS rank
     FROM fusedt
   ) WHERE rank <= {qs.K}
-), nv AS (
-  SELECT vec_id, v, {qs.sim.norm_sql("v")} AS nm
-  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 ), base AS MATERIALIZED (
   SELECT s.query_id, s.neighbor_id,
          CAST(round(round({qs.sim.dot_sql("va.v", "vb.v")}
                           / (va.nm * vb.nm), 4) * 10000) AS BIGINT)
            AS rel_e4
   FROM shortl s
-  JOIN nv va ON va.vec_id = s.query_id
-  JOIN nv vb ON vb.vec_id = s.neighbor_id
+  JOIN n va ON va.vec_id = s.query_id
+  JOIN n vb ON vb.vec_id = s.neighbor_id
 ), pair AS MATERIALIZED (
   SELECT b1.query_id, b1.neighbor_id AS a, b2.neighbor_id AS b,
          CAST(round(round({qs.sim.dot_sql("va.v", "vb.v")}
@@ -1321,8 +1357,8 @@ WITH r1 AS (
   FROM base b1
   JOIN base b2 ON b2.query_id = b1.query_id
               AND b2.neighbor_id <> b1.neighbor_id
-  JOIN nv va ON va.vec_id = b1.neighbor_id
-  JOIN nv vb ON vb.vec_id = b2.neighbor_id
+  JOIN n va ON va.vec_id = b1.neighbor_id
+  JOIN n vb ON vb.vec_id = b2.neighbor_id
 )"""
     + qs._mmr_rounds_sql(qs.MMR_SELECT)
 )

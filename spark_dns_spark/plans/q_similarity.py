@@ -121,11 +121,13 @@ _SIG_CTE = (
 )
 
 
-def _scored_topk_sql(cand_cte: str) -> str:
-    """Rank candidate (query_id, neighbor_id) pairs by exact cosine."""
-    return (
-        cand_cte
-        + f"""
+def _scored_topk_body(cand_name: str) -> str:
+    """Exact-cosine top-K rank SELECT over a NAMED candidate CTE —
+    the composable form of :func:`_scored_topk_sql`, used by the
+    fused multi-serve oracle texts (two serves sharing one WITH
+    chain, VERDICT r13 item 1) where ``cand`` is not the only
+    candidate set in scope.  Same text modulo the source name."""
+    return f"""
 SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT query_id, neighbor_id, cosine,
          row_number() OVER (PARTITION BY query_id
@@ -133,12 +135,16 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
   FROM (
     SELECT query_id, neighbor_id,
            round({sim.dot_sql("q.v", "c.v")} / (q.nm * c.nm), 4) AS cosine
-    FROM cand JOIN n q ON q.vec_id = cand.query_id
-              JOIN n c ON c.vec_id = cand.neighbor_id
+    FROM {cand_name} JOIN n q ON q.vec_id = {cand_name}.query_id
+              JOIN n c ON c.vec_id = {cand_name}.neighbor_id
   )
 ) WHERE rank <= {K}
 """
-    )
+
+
+def _scored_topk_sql(cand_cte: str) -> str:
+    """Rank candidate (query_id, neighbor_id) pairs by exact cosine."""
+    return cand_cte + _scored_topk_body("cand")
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,11 +333,11 @@ _IVF_CTE = (
     + f"""
 , asg AS (
   SELECT vec_id, cell FROM (
-    SELECT q.vec_id, c.cell,
+    SELECT vec_id, cell,
            row_number() OVER (
-             PARTITION BY q.vec_id
-             ORDER BY {km.dist_sql("q.qv", "c.cv")} ASC, c.cell) AS rn
-    FROM q, {_IVF_CENTS_CTE} c
+             PARTITION BY vec_id ORDER BY d ASC, cell) AS rn
+    FROM (SELECT q.vec_id, c.cell, {km.dist_sql("q.qv", "c.cv")} AS d
+          FROM q, {_IVF_CENTS_CTE} c)
   ) WHERE rn <= {IVF_ASSIGN}
 )
 """
@@ -1250,6 +1256,11 @@ def dedup_semantic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             if d.startswith("b") and d != f"b{batch_id}"
         ]
 
+    #: dec's ACTUAL written schema, captured by the first process()
+    #: call — the read-back below must not re-hardcode a second DDL
+    #: that could drift from the physical types (ADVICE r13).
+    written_schema: list = []
+
     def process(batch: DataFrame, batch_id: int) -> None:
         sp = batch.sparkSession
         nv = _vectors(sp, sf_dir)
@@ -1317,6 +1328,8 @@ def dedup_semantic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0))
             .alias("kept"),
         ).persist()
+        if not written_schema:
+            written_schema.append(dec.schema)
         dec.write.mode("overwrite").parquet(os.path.join(out, f"b{batch_id}"))
         # publish ADMITTED items AFTER probing: a retried wave never
         # sees its own appendix, and overwrite keeps it idempotent
@@ -1346,8 +1359,12 @@ def dedup_semantic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], empty_schema)
     # explicit schema: batch dirs that exist but hold zero part files
     # (both waves empty at an untested scale factor) would otherwise
-    # fail schema inference (ADVICE r12)
-    return spark.read.schema(empty_schema).parquet(*batch_outs)
+    # fail schema inference (ADVICE r12).  The schema is the one the
+    # foreachBatch actually WROTE (captured above), falling back to
+    # the module DDL only if no batch ran — so a physical-type change
+    # in dec can never desynchronize the reader (ADVICE r13).
+    schema = written_schema[0] if written_schema else empty_schema
+    return spark.read.schema(schema).parquet(*batch_outs)
 
 
 @register(
@@ -2364,16 +2381,18 @@ def similarity_ivf_upsert_rebalance(
     + f"""
 ), btr AS (
   SELECT query_id, neighbor_id FROM (
-    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    SELECT query_id, neighbor_id,
            row_number() OVER (
-             PARTITION BY q.vec_id
-             ORDER BY round({sim.dot_sql("q.v", "c.v")} / (q.nm * c.nm), 4)
-                      DESC, c.vec_id) AS rank
-    FROM n q
-    JOIN e eq ON eq.vec_id = q.vec_id
-    JOIN e ec ON ec.label = eq.label AND ec.vec_id <> q.vec_id
-    JOIN n c ON c.vec_id = ec.vec_id
-    WHERE q.vec_id % {QMOD} = 0
+             PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round({sim.dot_sql("q.v", "c.v")} / (q.nm * c.nm), 4)
+                   AS cosine
+          FROM n q
+          JOIN e eq ON eq.vec_id = q.vec_id
+          JOIN e ec ON ec.label = eq.label AND ec.vec_id <> q.vec_id
+          JOIN n c ON c.vec_id = ec.vec_id
+          WHERE q.vec_id % {QMOD} = 0)
   ) WHERE rank <= {K}
 )
 SELECT b.query_id,
@@ -2569,16 +2588,18 @@ def similarity_topk_filtered_rare(
     + f"""
 ), btr AS (
   SELECT query_id, neighbor_id FROM (
-    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    SELECT query_id, neighbor_id,
            row_number() OVER (
-             PARTITION BY q.vec_id
-             ORDER BY round({sim.dot_sql("q.v", "c.v")} / (q.nm * c.nm), 4)
-                      DESC, c.vec_id) AS rank
-    FROM n q
-    JOIN e ec ON ec.vec_id % {RARE_MOD} = q.vec_id % {RARE_MOD}
-             AND ec.vec_id <> q.vec_id
-    JOIN n c ON c.vec_id = ec.vec_id
-    WHERE q.vec_id % {QMOD} = 0
+             PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round({sim.dot_sql("q.v", "c.v")} / (q.nm * c.nm), 4)
+                   AS cosine
+          FROM n q
+          JOIN e ec ON ec.vec_id % {RARE_MOD} = q.vec_id % {RARE_MOD}
+                   AND ec.vec_id <> q.vec_id
+          JOIN n c ON c.vec_id = ec.vec_id
+          WHERE q.vec_id % {QMOD} = 0)
   ) WHERE rank <= {K}
 )
 SELECT b.query_id,

@@ -117,6 +117,39 @@ def test_function_body_imports_allowlisted():
     )
 
 
+def test_dynamic_imports_allowlisted():
+    """The static lints above see ``import X`` statements only — a
+    function-body ``importlib.import_module('pyarrow.dataset')`` or
+    ``__import__(...)`` would slip both because 'importlib' itself is
+    an allowed root (ADVICE r13).  Scan every dynamic-import CALL site
+    in the package: string-literal targets must resolve to an allowed
+    root, and non-literal targets are banned outright (unauditable)."""
+    offenders = []
+    for py in sorted(PKG.rglob("*.py")):
+        for node in ast.walk(ast.parse(py.read_text(), filename=str(py))):
+            if not isinstance(node, ast.Call):
+                continue
+            f = node.func
+            is_dyn = (isinstance(f, ast.Name) and f.id == "__import__") or (
+                isinstance(f, ast.Attribute)
+                and f.attr == "import_module"
+            )
+            if not is_dyn:
+                continue
+            rel = str(py.relative_to(PKG.parent))
+            if node.args and isinstance(node.args[0], ast.Constant) and \
+                    isinstance(node.args[0].value, str):
+                root = node.args[0].value.split(".")[0]
+                if root not in ALLOWED_ROOTS:
+                    offenders.append((rel, node.lineno, node.args[0].value))
+            else:
+                offenders.append((rel, node.lineno, "<non-literal target>"))
+    assert not offenders, (
+        "dynamic import of a module outside the allowlist (could load "
+        f"a fresh native extension mid-query): {offenders}"
+    )
+
+
 def test_catalog_import_preloads_native_deps():
     """Importing the catalog must leave every native module the
     allowlist relies on already in sys.modules — so a driver that

@@ -1,12 +1,24 @@
 """Oracle SQL must run under a STARVED DuckDB — the r8 regression gate.
 
-The driver's correctness harness runs each oracle in a DuckDB whose
-memory cap is much tighter than tools/check_oracle.py's 40%-of-RAM
-bound; in r8 the (then 179-CTE) `similarity_pq_codes` oracle OOMed
-THERE while passing locally, producing the round's only red gate row
-(VERDICT r8 item 1).  This test runs the largest oracles by SQL size
-under ``SET memory_limit='500MB'`` so a memory-hungry oracle shape is
-caught before the round ships, not by the driver.
+The driver's correctness harness runs each oracle in a DuckDB that is
+MUCH harsher than tools/check_oracle.py's coexistence cap: the r13
+judge reproduced the five ANN-tail reds with **no spill directory and
+a ~300 MB budget** (VERDICT r13 item 1), while this gate then starved
+at 500 MB WITH a spill dir — kinder on both axes, which is why 13
+rounds of local green kept shipping into driver red.  The gate now
+matches the driver's allocator shape:
+
+- ``memory_limit = 256MB`` (below the judge's reproduced budget);
+- **no temp_directory** — an oracle that needs spill FAILS here;
+- ``threads = 32`` — per-thread operator state is a first-order
+  memory term (the same window passes at 8 threads and fails at 32
+  when a text carries too many blocking operators).
+
+Plan size, not data size, is the dominant term at sf0.01 (a 500-row
+embeddings corpus OOM'd a 400 MB budget in r13 because DuckDB inlines
+every CTE reference — 739 operators for similarity_topk_ivfpq);
+catalog.materialize_ctes collapses deep texts and THIS test is the
+regression gate that keeps them collapsed.
 
 Correctness of the VALUES is the full oracle gate's job
 (tools/check_oracle.py); here only "executes under starvation" is
@@ -15,27 +27,30 @@ asserted (plus non-empty output as a sanity floor).
 
 from __future__ import annotations
 
-import tempfile
 from pathlib import Path
 
 import duckdb
 import pytest
+
+from spark_dns_spark.plans.catalog import DRIVER_WINDOW_N
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings".split()
 )
 
+#: The driver-shaped starve budget: below the ~300 MB the r13 judge
+#: reproduced the driver OOMs at, with NO spill dir and full threads.
+STARVE_MEM = "256MB"
+STARVE_THREADS = 32
+
 #: How many of the largest oracles (by SQL length) to starve-test
 #: BEYOND the driver window (size was a bad predictor in r12:
 #: `dedup_semantic_semdedup` OOM'd the driver's DuckDB while ranking
-#: ~13th by length — VERDICT r12 item 3 — so the whole 50-query window
-#: is now starved unconditionally and the size heuristic only extends
+#: ~13th by length — VERDICT r12 item 3 — so the whole window is
+#: starved unconditionally and the size heuristic only extends
 #: coverage to big out-of-window oracles).
 TOP_N = 8
-
-#: Driver correctness-window size (first N catalog entries).
-WINDOW_N = 50
 
 
 def _top_oracles() -> list[tuple[str, str]]:
@@ -43,7 +58,9 @@ def _top_oracles() -> list[tuple[str, str]]:
 
     oracles = e.oracle_sql()
     window = [
-        (n, oracles[n]) for n in list(e.queries())[:WINDOW_N] if n in oracles
+        (n, oracles[n])
+        for n in list(e.queries())[:DRIVER_WINDOW_N]
+        if n in oracles
     ]
     in_window = {n for n, _ in window}
     biggest = [
@@ -62,33 +79,32 @@ SF_GATE = "/root/testdata/sf0.01"
 @pytest.mark.parametrize(
     "name,sql", _top_oracles(), ids=[n for n, _ in _top_oracles()]
 )
-def test_oracle_runs_under_500mb(name: str, sql: str):
+def test_oracle_runs_no_spill_256mb(name: str, sql: str):
     con = duckdb.connect()
-    con.execute("SET threads=4")
-    con.execute("SET memory_limit='500MB'")
-    with tempfile.TemporaryDirectory(prefix="duck_starve_") as spill:
-        con.execute(f"SET temp_directory='{spill}'")
-        for t in TABLES:
-            p = Path(SF_GATE) / f"{t}.parquet"
-            if p.exists():
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM '{p}'"
-                )
-        df = con.execute(sql).df()
+    con.execute(f"SET threads={STARVE_THREADS}")
+    con.execute(f"SET memory_limit='{STARVE_MEM}'")
+    con.execute("SET temp_directory=''")  # spill FORBIDDEN
+    for t in TABLES:
+        p = Path(SF_GATE) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    df = con.execute(sql).df()
+    con.close()
     assert len(df) > 0, f"{name}: starved oracle returned no rows"
 
 
 def test_configure_duck_tolerates_malformed_env(monkeypatch):
     """A malformed SPARK_GRAFT_DUCK_MEM_GB ('16GB', ' ') must not kill
     the oracle run — fall back to the computed coexistence cap
-    (ADVICE r12)."""
+    (ADVICE r12); a FLOAT override ('4.5') is honored by flooring
+    (ADVICE r13), not silently discarded."""
     import sys
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     from tools.check_oracle import configure_duck
 
-    for bad in ("16GB", "", "  ", "4.5"):
+    for bad in ("16GB", "", "  "):
         monkeypatch.setenv("SPARK_GRAFT_DUCK_MEM_GB", bad)
         con = duckdb.connect()
         configure_duck(con)  # must not raise
@@ -97,3 +113,11 @@ def test_configure_duck_tolerates_malformed_env(monkeypatch):
         ).fetchone()[0]
         assert lim  # a limit was still applied
         con.close()
+
+    # float override: floored to 4GB, not dropped
+    monkeypatch.setenv("SPARK_GRAFT_DUCK_MEM_GB", "4.5")
+    con = duckdb.connect()
+    configure_duck(con)
+    lim = con.execute("SELECT current_setting('memory_limit')").fetchone()[0]
+    assert lim == "3.7 GiB", lim  # 4 GB floored from '4.5', GiB-rendered
+    con.close()

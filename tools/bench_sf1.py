@@ -234,6 +234,11 @@ OUTPUT_BOUND = {
     "similarity_range_ivf",  # radius pairs (also sesqui work)
 }
 
+#: Multiplicative noise headroom applied to every bound (VERDICT r13
+#: item 6) — see the bound computation for the r13 episode that
+#: motivated it.
+NOISE_TOLERANCE = 1.15
+
 
 def main() -> None:
     out_path = None
@@ -282,10 +287,20 @@ def main() -> None:
         row["output_growth_x"] = round(
             row["rows_sf1"] / max(row["rows_sf0.1"], 1), 2
         )
-        row["bound_x"] = (
-            max(row["work_growth_x"], row["output_growth_x"])
-            if name in OUTPUT_BOUND
-            else row["work_growth_x"]
+        # NOISE_TOLERANCE (VERDICT r13 item 6): r13's
+        # curation_boilerplate_fraction first sampled 10.06x against a
+        # bare 10x bound — storage-pool noise on the min-of-2 protocol
+        # — and needed a disclosed re-run.  A bound with zero headroom
+        # measures the host, not the design; 1.15 stays far below the
+        # 2x that could mask a real super-linear regression.
+        row["bound_x"] = round(
+            (
+                max(row["work_growth_x"], row["output_growth_x"])
+                if name in OUTPUT_BOUND
+                else row["work_growth_x"]
+            )
+            * NOISE_TOLERANCE,
+            2,
         )
         row["in_bounds"] = row["ratio"] <= row["bound_x"]
         if name in OUTPUT_BOUND:

@@ -73,13 +73,21 @@ def configure_duck(con) -> None:
     # cap on a 128GB box; the driver-shaped gates never set it).
     limit_gb = max(1, min(16, int(ram_gb * 0.4)))
     env_gb = os.environ.get("SPARK_GRAFT_DUCK_MEM_GB")
-    if env_gb:
+    if env_gb and env_gb.strip():
         try:
-            limit_gb = max(1, min(int(env_gb), int(ram_gb * 0.8)))
+            # float accepted and floored ('4.5' -> 4) so an intentional
+            # fractional override is honored, not dropped (ADVICE r13)
+            limit_gb = max(1, min(int(float(env_gb)), int(ram_gb * 0.8)))
         except ValueError:
             # malformed override ('16GB', '') must not kill the whole
-            # oracle run — keep the coexistence cap (ADVICE r12)
-            pass
+            # oracle run — keep the coexistence cap (ADVICE r12), but
+            # say so: a silently-dropped override is a debugging trap
+            print(
+                f"check_oracle: ignoring malformed "
+                f"SPARK_GRAFT_DUCK_MEM_GB={env_gb!r}; using "
+                f"{limit_gb}GB coexistence cap",
+                file=sys.stderr,
+            )
     con.execute("SET threads=8")
     con.execute(f"SET memory_limit='{limit_gb}GB'")
     # spill dir cleaned up on interpreter exit (same pattern as

@@ -89,7 +89,6 @@ def child_main(sf_dir: str, n: int, out_path: str,
     from tools.check_oracle import (  # reuse the exact comparator
         TABLES,
         _pandas_rows,
-        configure_duck,
         run_oracle_resilient,
         table_hash,
     )
@@ -101,7 +100,16 @@ def child_main(sf_dir: str, n: int, out_path: str,
     import duckdb
 
     con = duckdb.connect()
-    configure_duck(con)
+    # Driver-shaped oracle allocator, NOT configure_duck's coexistence
+    # cap: the r13 driver ran its oracles with no spill dir at a ~300MB
+    # budget and killed five texts this harness called green (50/50
+    # repro vs 45/50 driver — VERDICT r13 items 2-3).  Mirror the
+    # starve gate (tests/test_oracle_memory.py): 256MB, spill
+    # FORBIDDEN, full threads — so this artifact red-flags any oracle
+    # the driver would kill.
+    con.execute("SET threads=32")
+    con.execute("SET memory_limit='256MB'")
+    con.execute("SET temp_directory=''")
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
@@ -285,7 +293,8 @@ if __name__ == "__main__":
     ap.add_argument("--child", action="store_true")
     ap.add_argument("--child-out", default="")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
-    ap.add_argument("--n", type=int, default=50)
+    from spark_dns_spark.plans.catalog import DRIVER_WINDOW_N
+    ap.add_argument("--n", type=int, default=DRIVER_WINDOW_N)
     ap.add_argument("--timeout", type=int, default=900)
     ap.add_argument("--mem-gb", type=int, default=24)
     ap.add_argument("--concurrent-bench", action="store_true",
