@@ -42,13 +42,45 @@ _CTE_DEF = re.compile(r"\b([a-z_0-9]+) AS \(")
 MAT_CTE_MIN = 8
 
 
+def _cte_body_self_references(sql: str, name: str, open_at: int) -> bool:
+    """True when the CTE whose body's ``(`` sits at ``open_at``
+    references its own ``name`` inside that body (a recursive member —
+    DuckDB cannot materialize those).  Body extent by paren balance."""
+    depth = 0
+    for i in range(open_at, len(sql)):
+        c = sql[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                body = sql[open_at + 1 : i]
+                return re.search(rf"\b{re.escape(name)}\b", body) is not None
+    return True  # unbalanced text: refuse to touch it
+
+
 def materialize_ctes(sql: str) -> str:
-    """Force ``AS MATERIALIZED`` on every CTE of a deep oracle text
-    (idempotent; skips ``WITH RECURSIVE`` texts — DuckDB cannot
-    materialize recursive CTE members)."""
-    if "RECURSIVE" in sql:
-        return sql
-    return _CTE_DEF.sub(r"\1 AS MATERIALIZED (", sql)
+    """Force ``AS MATERIALIZED`` on every non-recursive CTE of a deep
+    oracle text (idempotent).  Recursive members are left inlined:
+    those declared with a column list (``reach(src, dst) AS (`` — the
+    catalog's usual form) never match :data:`_CTE_DEF` at all, and a
+    plain-form recursive member (``g AS (`` in pack_greedy_bins) is
+    detected by self-reference and skipped.  Non-recursive members of
+    a ``WITH RECURSIVE`` clause ARE materialized — DuckDB 1.0 accepts
+    that, and mlprep_split_leakage_audit needed it to fit the 256 MB
+    no-spill starve budget."""
+    out = []
+    last = 0
+    for m in _CTE_DEF.finditer(sql):
+        name = m.group(1)
+        open_at = m.end() - 1  # the '(' the pattern just matched
+        if _cte_body_self_references(sql, name, open_at):
+            continue  # recursive member: leave inlined
+        out.append(sql[last : m.start()])
+        out.append(f"{name} AS MATERIALIZED (")
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
 
 
 @dataclass

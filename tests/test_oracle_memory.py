@@ -44,36 +44,36 @@ TABLES = (
 STARVE_MEM = "256MB"
 STARVE_THREADS = 32
 
-#: How many of the largest oracles (by SQL length) to starve-test
-#: BEYOND the driver window (size was a bad predictor in r12:
-#: `dedup_semantic_semdedup` OOM'd the driver's DuckDB while ranking
-#: ~13th by length — VERDICT r12 item 3 — so the whole window is
-#: starved unconditionally and the size heuristic only extends
-#: coverage to big out-of-window oracles).
-TOP_N = 8
-
-
 def _top_oracles() -> list[tuple[str, str]]:
+    """EVERY oracle in the catalog, window first (fail-fast on what
+    the driver checks this round).  Size heuristics were a bad
+    predictor twice (r12: `dedup_semantic_semdedup` OOM'd while
+    ranking ~13th by length; r13: the whole deep-chain family was at
+    risk, not just the 5 the driver happened to rotate in), and the
+    driver window ROTATES — so the gate covers the full catalog,
+    making any future rotation starve-safe by construction.  Cost:
+    ~90 s for all 195 at sf0.01."""
     import __spark_entry__ as e
 
     oracles = e.oracle_sql()
+    order = list(e.queries())
     window = [
-        (n, oracles[n])
-        for n in list(e.queries())[:DRIVER_WINDOW_N]
-        if n in oracles
+        (n, oracles[n]) for n in order[:DRIVER_WINDOW_N] if n in oracles
     ]
-    in_window = {n for n, _ in window}
-    biggest = [
-        kv
-        for kv in sorted(oracles.items(), key=lambda kv: -len(kv[1]))[:TOP_N]
-        if kv[0] not in in_window
+    rest = [
+        (n, oracles[n]) for n in order[DRIVER_WINDOW_N:] if n in oracles
     ]
-    return window + biggest
+    return window + rest
 
 
 #: The driver gate runs at sf0.01 — starve-test at the SAME scale (the
 #: session sf_dir fixture is sf0.001, too small to reproduce pressure).
 SF_GATE = "/root/testdata/sf0.01"
+
+#: Violation-detector queries whose CORRECT output is empty (zero
+#: duplicates found = the invariant holds) — exempt from the
+#: non-empty sanity floor, not from the starvation run itself.
+EMPTY_OK = {"exactly_once_check"}
 
 
 @pytest.mark.parametrize(
@@ -90,7 +90,8 @@ def test_oracle_runs_no_spill_256mb(name: str, sql: str):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     df = con.execute(sql).df()
     con.close()
-    assert len(df) > 0, f"{name}: starved oracle returned no rows"
+    if name not in EMPTY_OK:
+        assert len(df) > 0, f"{name}: starved oracle returned no rows"
 
 
 def test_configure_duck_tolerates_malformed_env(monkeypatch):
