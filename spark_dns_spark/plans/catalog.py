@@ -61,14 +61,25 @@ def _cte_body_self_references(sql: str, name: str, open_at: int) -> bool:
 
 def materialize_ctes(sql: str) -> str:
     """Force ``AS MATERIALIZED`` on every non-recursive CTE of a deep
-    oracle text (idempotent).  Recursive members are left inlined:
-    those declared with a column list (``reach(src, dst) AS (`` — the
-    catalog's usual form) never match :data:`_CTE_DEF` at all, and a
-    plain-form recursive member (``g AS (`` in pack_greedy_bins) is
-    detected by self-reference and skipped.  Non-recursive members of
-    a ``WITH RECURSIVE`` clause ARE materialized — DuckDB 1.0 accepts
-    that, and mlprep_split_leakage_audit needed it to fit the 256 MB
-    no-spill starve budget."""
+    oracle text (idempotent).
+
+    Every non-recursive CTE gets the keyword, not just multi-
+    referenced ones: a multi-ref-only variant was MEASURED WORSE on
+    the window tail (similarity_topk_ivfpq's no-spill floor rose
+    200 -> 224 MB while fused-MMR didn't improve) — the allocator
+    cost is plan/pipeline-shaped, not per-CTE-linear, so the blanket
+    policy with the best measured floors across the whole catalog
+    wins.  (Fused-MMR's floor is ~240 MB with every intermediate
+    under 8,000 rows — pure operator overhead; the 256 MB starve gate
+    is the binding contract.)
+
+    Recursive members are left inlined: those declared with a column
+    list (``reach(src, dst) AS (``) never match :data:`_CTE_DEF`, and
+    plain-form ones (``g AS (`` in pack_greedy_bins) are detected by
+    self-reference.  Non-recursive members of a ``WITH RECURSIVE``
+    clause ARE eligible — DuckDB 1.0 accepts that, and
+    mlprep_split_leakage_audit needs it to fit the 256 MB no-spill
+    starve budget."""
     out = []
     last = 0
     for m in _CTE_DEF.finditer(sql):

@@ -2756,6 +2756,17 @@ def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 MMR_SELECT = 5
 MMR_REL_W, MMR_DIV_W = 7, 3
 
+#: Injective (mmr_score, neighbor_id) -> (BIAS - score)*ENC + id encode
+#: for the one-aggregate per-query argmax in the oracle's greedy
+#: rounds (min of the encode = max score, ties to the smaller id —
+#: exactly the old ORDER BY mmr_score DESC, neighbor_id window).
+#: DuckDB's // and % are TRUNCATED (C-style), so the first factor is
+#: kept non-negative by the bias: |score| <= (REL_W + DIV_W) * 1e4 =
+#: 1e5 < BIAS.  Requires 0 <= neighbor_id < ENC (vec_id < 2^40) and
+#: (BIAS - score)*ENC <= 3e5 * 2^40 ~ 3.3e17 < 2^63.
+MMR_ENC = 1 << 40
+MMR_BIAS = 200_000
+
 
 def _mmr_rounds_sql(rounds: int) -> str:
     """Unrolled greedy MMR selection over CTEs ``base`` (query_id,
@@ -2764,14 +2775,20 @@ def _mmr_rounds_sql(rounds: int) -> str:
     7·rel − 3·(max sim to the already-selected set), ties to the
     smaller neighbor_id — the same fixed-unroll pattern as the
     cell-split fixpoint oracle."""
+    # Each round's pick is ONE hash aggregate (min of the biased
+    # MMR_ENC encode), not a row_number window — same argmax, same
+    # smaller-neighbor tie-break, five fewer blocking sort operators
+    # in the plan (the no-spill-budget term; VERDICT r13 item 1).
     parts = [f"""
 , sel1 AS (
-  SELECT query_id, neighbor_id,
-         {MMR_REL_W} * rel_e4 AS mmr_score, 1 AS sel_rank
-  FROM (SELECT base.*,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY rel_e4 DESC, neighbor_id) AS rn
-        FROM base) WHERE rn = 1
+  SELECT query_id,
+         CAST(mx % {MMR_ENC} AS BIGINT) AS neighbor_id,
+         CAST({MMR_BIAS} - mx // {MMR_ENC} AS BIGINT) AS mmr_score,
+         1 AS sel_rank
+  FROM (SELECT query_id,
+               min(({MMR_BIAS} - {MMR_REL_W} * rel_e4) * {MMR_ENC}
+                   + neighbor_id) AS mx
+        FROM base GROUP BY query_id)
 ), selall1 AS MATERIALIZED (SELECT * FROM sel1)"""]
     for t in range(2, rounds + 1):
         parts.append(f"""
@@ -2788,11 +2805,14 @@ def _mmr_rounds_sql(rounds: int) -> str:
                       AND x.neighbor_id = r.neighbor_id)
   GROUP BY r.query_id, r.neighbor_id, r.rel_e4
 ), sel{t} AS (
-  SELECT query_id, neighbor_id, mmr_score, {t} AS sel_rank FROM (
-    SELECT scored{t}.*,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY mmr_score DESC, neighbor_id) AS rn
-    FROM scored{t}) WHERE rn = 1
+  SELECT query_id,
+         CAST(mx % {MMR_ENC} AS BIGINT) AS neighbor_id,
+         CAST({MMR_BIAS} - mx // {MMR_ENC} AS BIGINT) AS mmr_score,
+         {t} AS sel_rank
+  FROM (SELECT query_id,
+               min(({MMR_BIAS} - mmr_score) * {MMR_ENC}
+                   + neighbor_id) AS mx
+        FROM scored{t} GROUP BY query_id)
 ), selall{t} AS MATERIALIZED (
   SELECT * FROM selall{t - 1} UNION ALL SELECT * FROM sel{t})""")
     parts.append(f"""
