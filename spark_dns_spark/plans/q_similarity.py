@@ -89,9 +89,12 @@ WITH e AS (
 #: (digest byte 0 & 1 == parity of the first hex byte).  Both engines
 #: therefore agree at EVERY scale factor, not just the one the SQL was
 #: written for.
-_SIG_CTE = (
-    _BASE_CTE
-    + f"""
+#: Signature-only CTE body (prm/pl/sb/sx over prior e and n) — split
+#: from :data:`_SIG_CTE` so fused multi-serve texts can graft the LSH
+#: family onto an already-present base chain instead of nesting a
+#: second full serve subquery (the r14 shared-WITH convention).
+_SIG_BODY = (
+    f"""
 , prm AS (
   SELECT rpb, ({_NBANDS_LIT})[rpb - {sim.RPB_MIN - 1}] AS nbands FROM (
     SELECT least({sim.RPB_MAX}, greatest({sim.RPB_MIN},
@@ -119,6 +122,8 @@ _SIG_CTE = (
 )
 """
 )
+
+_SIG_CTE = _BASE_CTE + _SIG_BODY
 
 
 def _scored_topk_body(cand_name: str) -> str:
@@ -2679,17 +2684,41 @@ def similarity_filtered_rare_recall(
 RRF_K = 60
 RRF_SCALE = 1_000_000
 
-_RRF_SQL = f"""
-WITH ivfr AS (
-  SELECT query_id, neighbor_id, rank FROM ({_IVF_SQL})
-), lshr AS (
-  SELECT query_id, neighbor_id, rank FROM ({_LSH_SQL})
+# ONE shared WITH chain (the r14 convention, VERDICT r13 item 1): the
+# previous form nested the full IVF and LSH serves as two derived-
+# table subqueries, planning and executing the corpus/norms base twice
+# — this text's no-spill floor was the catalog's #2 (224 MB).  Both
+# serves share e/n via _IVF_CTE; the LSH family grafts on as _SIG_BODY
+# and each serve is its candidate CTE + one exact-cosine topk body.
+_RRF_SQL = (
+    _IVF_CTE
+    + _SIG_BODY
+    + f"""
+, probes AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, cell,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY d ASC, cell) AS rn
+    FROM (SELECT q.vec_id AS query_id, c.cell,
+                 {km.dist_sql("q.qv", "c.cv")} AS d
+          FROM (SELECT * FROM q WHERE vec_id % {QMOD} = 0) q,
+               {_IVF_CENTS_CTE} c)
+  ) WHERE rn <= (SELECT np FROM nprm)
+), candi AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.query_id
+), ivfk AS ({_scored_topk_body("candi")}
+), candl AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sx q JOIN sx c ON c.band_key = q.band_key AND c.vec_id <> q.vec_id
+  WHERE q.vec_id % {QMOD} = 0
+), lshk AS ({_scored_topk_body("candl")}
 ), allr AS (
   SELECT query_id, neighbor_id,
-         {RRF_SCALE} // ({RRF_K} + rank) AS contrib FROM ivfr
+         {RRF_SCALE} // ({RRF_K} + rank) AS contrib FROM ivfk
   UNION ALL
   SELECT query_id, neighbor_id,
-         {RRF_SCALE} // ({RRF_K} + rank) AS contrib FROM lshr
+         {RRF_SCALE} // ({RRF_K} + rank) AS contrib FROM lshk
 ), fused AS (
   SELECT query_id, neighbor_id,
          CAST(sum(contrib) AS BIGINT) AS rrf_e6,
@@ -2703,6 +2732,7 @@ SELECT query_id, neighbor_id, rrf_e6, n_sources, rank FROM (
   FROM fused
 ) WHERE rank <= {K}
 """
+)
 
 
 @register(
