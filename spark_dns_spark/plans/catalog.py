@@ -25,8 +25,19 @@ from spark_dns_spark.session import release_all_caches, tune
 
 #: CTE-definition matcher for :func:`materialize_ctes` (lowercase CTE
 #: names only, the catalog convention; never matches an existing
-#: ``AS MATERIALIZED (`` because the keyword is uppercase).
-_CTE_DEF = re.compile(r"\b([a-z_0-9]+) AS \(")
+#: ``AS MATERIALIZED (`` because the keyword is uppercase).  The
+#: lookbehind excludes named-window clauses (``WINDOW w AS (...)``),
+#: which share the ``name AS (`` shape but cannot be materialized —
+#: rewriting one would be a DuckDB parse error (review r14).
+_CTE_DEF = re.compile(r"(?<!WINDOW )\b([a-z_0-9]+) AS \(")
+
+#: A named-window BODY starts with a window spec, never a SELECT —
+#: second line of defense for multi-window clauses
+#: (``WINDOW a AS (...), b AS (...)``) where only the first name has
+#: the ``WINDOW `` prefix the lookbehind sees.
+_WINDOW_BODY = re.compile(
+    r"^\s*(PARTITION\s+BY|ORDER\s+BY|ROWS|RANGE|GROUPS)\b", re.I
+)
 
 #: Oracle texts with at least this many CTE definitions get every CTE
 #: forced to ``AS MATERIALIZED``.  DuckDB INLINES each CTE reference:
@@ -42,21 +53,34 @@ _CTE_DEF = re.compile(r"\b([a-z_0-9]+) AS \(")
 MAT_CTE_MIN = 8
 
 
-def _cte_body_self_references(sql: str, name: str, open_at: int) -> bool:
-    """True when the CTE whose body's ``(`` sits at ``open_at``
-    references its own ``name`` inside that body (a recursive member —
-    DuckDB cannot materialize those).  Body extent by paren balance."""
+def _cte_body(sql: str, open_at: int) -> str | None:
+    """Body of the parenthesized group whose ``(`` sits at ``open_at``
+    — paren balance with single-quoted string literals skipped, so a
+    literal like ``'^\\('`` cannot mis-extent the body (review r14).
+    None when unbalanced."""
     depth = 0
-    for i in range(open_at, len(sql)):
+    in_str = False
+    i = open_at
+    n = len(sql)
+    while i < n:
         c = sql[i]
-        if c == "(":
+        if in_str:
+            if c == "'":
+                # '' is an escaped quote inside a SQL literal
+                if i + 1 < n and sql[i + 1] == "'":
+                    i += 1
+                else:
+                    in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
             depth += 1
         elif c == ")":
             depth -= 1
             if depth == 0:
-                body = sql[open_at + 1 : i]
-                return re.search(rf"\b{re.escape(name)}\b", body) is not None
-    return True  # unbalanced text: refuse to touch it
+                return sql[open_at + 1 : i]
+        i += 1
+    return None
 
 
 def materialize_ctes(sql: str) -> str:
@@ -85,7 +109,12 @@ def materialize_ctes(sql: str) -> str:
     for m in _CTE_DEF.finditer(sql):
         name = m.group(1)
         open_at = m.end() - 1  # the '(' the pattern just matched
-        if _cte_body_self_references(sql, name, open_at):
+        body = _cte_body(sql, open_at)
+        if body is None:
+            continue  # unbalanced: refuse to touch it
+        if _WINDOW_BODY.match(body):
+            continue  # named-window clause, not a CTE (review r14)
+        if re.search(rf"\b{re.escape(name)}\b", body):
             continue  # recursive member: leave inlined
         out.append(sql[last : m.start()])
         out.append(f"{name} AS MATERIALIZED (")

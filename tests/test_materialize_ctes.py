@@ -64,3 +64,34 @@ def test_register_threshold_is_depth_gated():
     # pushdown-friendly default for TPC-H-class oracles.
     shallow = "WITH a AS (SELECT 1) SELECT * FROM a"
     assert len(_CTE_DEF.findall(shallow)) < MAT_CTE_MIN
+
+
+def test_named_window_clause_left_untouched():
+    # `WINDOW w AS (PARTITION BY ...)` shares the `name AS (` shape
+    # but is NOT a CTE — rewriting it would be a DuckDB parse error.
+    sql = (
+        "WITH a AS (SELECT 1 AS x), b AS (SELECT * FROM a), "
+        "c AS (SELECT * FROM a), d AS (SELECT * FROM a), "
+        "e AS (SELECT * FROM a), f AS (SELECT * FROM a), "
+        "g AS (SELECT * FROM a), h AS (SELECT * FROM a) "
+        "SELECT x, row_number() OVER w AS rn, sum(x) OVER w2 AS s "
+        "FROM h WINDOW w AS (PARTITION BY x ORDER BY x), "
+        "w2 AS (ORDER BY x)"
+    )
+    out = materialize_ctes(sql)
+    assert "WINDOW w AS (PARTITION BY" in out  # first (lookbehind)
+    assert "w2 AS (ORDER BY x)" in out  # second (body heuristic)
+    assert "h AS MATERIALIZED (" in out  # real CTEs still transformed
+
+
+def test_string_literal_parens_do_not_break_body_scan():
+    # an unbalanced paren inside a SQL string literal must not
+    # mis-extent the body scan (it previously could mislabel a
+    # recursive member as safe to materialize).
+    sql = (
+        "WITH g AS (SELECT regexp_replace(t, '^\\(', '') AS t, n "
+        "FROM src UNION ALL SELECT t, n + 1 FROM g WHERE n < 3) "
+        "SELECT * FROM g"
+    )
+    out = materialize_ctes(sql)
+    assert "g AS MATERIALIZED (" not in out  # still seen as recursive

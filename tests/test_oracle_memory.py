@@ -70,27 +70,43 @@ def _top_oracles() -> list[tuple[str, str]]:
 #: session sf_dir fixture is sf0.001, too small to reproduce pressure).
 SF_GATE = "/root/testdata/sf0.01"
 
-#: Violation-detector queries whose CORRECT output is empty (zero
-#: duplicates found = the invariant holds) — exempt from the
-#: non-empty sanity floor, not from the starvation run itself.
-EMPTY_OK = {"exactly_once_check"}
+
+def _empty_ok() -> set[str]:
+    """Violation-detector queries whose CORRECT output is empty (zero
+    duplicates found = the invariant holds) — exempt from the
+    non-empty sanity floor, not from the starvation run itself.
+    Catalog-driven via the ``test-shape`` tag so a future detector is
+    exempted where it is registered, not by editing this file
+    (review r14)."""
+    from spark_dns_spark.plans.catalog import catalog
+
+    return {
+        n for n, q in catalog().items() if "test-shape" in q.tags
+    }
+
+
+_CASES = _top_oracles()  # built once; parametrize reuses for ids too
 
 
 @pytest.mark.parametrize(
-    "name,sql", _top_oracles(), ids=[n for n, _ in _top_oracles()]
+    "name,sql", _CASES, ids=[n for n, _ in _CASES]
 )
 def test_oracle_runs_no_spill_256mb(name: str, sql: str):
     con = duckdb.connect()
-    con.execute(f"SET threads={STARVE_THREADS}")
-    con.execute(f"SET memory_limit='{STARVE_MEM}'")
-    con.execute("SET temp_directory=''")  # spill FORBIDDEN
-    for t in TABLES:
-        p = Path(SF_GATE) / f"{t}.parquet"
-        if p.exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-    df = con.execute(sql).df()
-    con.close()
-    if name not in EMPTY_OK:
+    try:
+        con.execute(f"SET threads={STARVE_THREADS}")
+        con.execute(f"SET memory_limit='{STARVE_MEM}'")
+        con.execute("SET temp_directory=''")  # spill FORBIDDEN
+        for t in TABLES:
+            p = Path(SF_GATE) / f"{t}.parquet"
+            if p.exists():
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        df = con.execute(sql).df()
+    finally:
+        # close even on OOM: a leaked starved connection inflates the
+        # whole remaining 195-case run and cascades false reds
+        con.close()
+    if name not in _empty_ok():
         assert len(df) > 0, f"{name}: starved oracle returned no rows"
 
 
@@ -115,10 +131,15 @@ def test_configure_duck_tolerates_malformed_env(monkeypatch):
         assert lim  # a limit was still applied
         con.close()
 
-    # float override: floored to 4GB, not dropped
+    # float override: floored to 4GB, not dropped.  Assert the PARSED
+    # magnitude, not DuckDB's human rendering ('3.7 GiB' today) — a
+    # version bump reformatting the string must not fail the contract.
     monkeypatch.setenv("SPARK_GRAFT_DUCK_MEM_GB", "4.5")
     con = duckdb.connect()
     configure_duck(con)
     lim = con.execute("SELECT current_setting('memory_limit')").fetchone()[0]
-    assert lim == "3.7 GiB", lim  # 4 GB floored from '4.5', GiB-rendered
+    num = float(lim.lower().replace("gib", "").replace("gb", "").strip())
+    unit_gib = "gib" in lim.lower()
+    gb = num * (2**30 / 1e9) if unit_gib else num
+    assert 3.5 <= gb <= 4.1, lim  # ~4e9 bytes from the floored '4.5'
     con.close()

@@ -73,15 +73,17 @@ def configure_duck(con) -> None:
     # cap on a 128GB box; the driver-shaped gates never set it).
     limit_gb = max(1, min(16, int(ram_gb * 0.4)))
     env_gb = os.environ.get("SPARK_GRAFT_DUCK_MEM_GB")
-    if env_gb and env_gb.strip():
+    if env_gb:  # set to anything, even whitespace: the user meant SOMETHING
         try:
             # float accepted and floored ('4.5' -> 4) so an intentional
             # fractional override is honored, not dropped (ADVICE r13)
             limit_gb = max(1, min(int(float(env_gb)), int(ram_gb * 0.8)))
         except ValueError:
-            # malformed override ('16GB', '') must not kill the whole
+            # malformed override ('16GB', ' ') must not kill the whole
             # oracle run — keep the coexistence cap (ADVICE r12), but
             # say so: a silently-dropped override is a debugging trap
+            # (whitespace-only included — a templated-empty CI var with
+            # a stray space is exactly the case that needs the hint)
             print(
                 f"check_oracle: ignoring malformed "
                 f"SPARK_GRAFT_DUCK_MEM_GB={env_gb!r}; using "

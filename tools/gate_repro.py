@@ -293,8 +293,10 @@ if __name__ == "__main__":
     ap.add_argument("--child", action="store_true")
     ap.add_argument("--child-out", default="")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
-    from spark_dns_spark.plans.catalog import DRIVER_WINDOW_N
-    ap.add_argument("--n", type=int, default=DRIVER_WINDOW_N)
+    # default resolved AFTER parse: importing the catalog pulls in
+    # pyspark, which the lightweight parent (fork + rlimit only)
+    # should not pay for --help or bad-args paths (review r14)
+    ap.add_argument("--n", type=int, default=None)
     ap.add_argument("--timeout", type=int, default=900)
     ap.add_argument("--mem-gb", type=int, default=24)
     ap.add_argument("--concurrent-bench", action="store_true",
@@ -306,6 +308,10 @@ if __name__ == "__main__":
                          "driver sandbox's observed kill mode)")
     ap.add_argument("--json", default="")
     a = ap.parse_args()
+    if a.n is None:
+        from spark_dns_spark.plans.catalog import DRIVER_WINDOW_N
+
+        a.n = DRIVER_WINDOW_N
     if a.child:
         sys.exit(child_main(a.sf, a.n, a.child_out,
                             import_hostile=a.import_hostile))
