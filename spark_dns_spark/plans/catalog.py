@@ -765,6 +765,147 @@ _ROTATION_R12: dict[str, float] = {
     "range_join_bucketed": 5.4,
 }
 
+#: Round-15 rotation, layered over r4..r12 (later map wins).  VERDICT
+#: r14 item 1 — evidence completion: 28 of the 195 catalog queries had
+#: never held a driver-window row across rounds 1-14 (union of all
+#: CORRECTNESS_r*.json); this round rotates EVERY one of them in, so
+#: after r15 the full catalog has at least one external green row.
+#: Window composition (50 = DRIVER_WINDOW_N):
+#:
+#: - tier 4.5 (first): the 5-query connector core — reference-§2
+#:   evidence is never forfeited, whatever dies behind it;
+#: - tier 5: the 8 CHEAP never-windowed entries (ORC roundtrip,
+#:   greedy packing, pivot, label propagation, TPC-H Q2/Q9/Q11/Q20),
+#:   16 stale-green backfills whose last driver row was r5 (the
+#:   §2 changelog/function/window/set families — refreshed evidence,
+#:   and cheap map/agg shapes that keep the window's failure-forfeit
+#:   small), and multimodal_phash_neardup (semantically CHANGED this
+#:   round: hash-sampled verify bound, VERDICT r14 item 5);
+#: - tier 5.45: the never-windowed streaming/incremental mid-tier
+#:   (minhash + count-min stream variants, postings upsert, MMR
+#:   rerank).  NOTE the r9 one-streaming-query window cap is
+#:   deliberately lifted FOR THIS ROUND ONLY — the 4 streaming
+#:   variants are the last never-windowed streaming evidence, the
+#:   r14 starve gate makes them allocator-safe by construction, and
+#:   the r14 gate ran 153 s against a 1500 s budget (10x headroom);
+#:   tests/test_driver_contract.py pins the exception explicitly;
+#: - tier 5.5 (tail, forfeits least on a late death — r11 lesson):
+#:   the never-windowed index-backed families (IVF maintenance:
+#:   upsert/delete/cell balance/split/fixpoint; range serve+recall;
+#:   filtered serve+recall; PQ upsert/drift + its stream variant;
+#:   semantic-dedup incremental+stream; BM25 dense — CHANGED this
+#:   round: term-bucketed persisted postings, VERDICT r14 item 3 —
+#:   and hybrid RRF fusion which serves from it).
+#:
+#: Rotated OUT to make room: the entire r14 window except the
+#: connector core and phash (44 entries, every one r14-green on the
+#: driver's own gate — the freshest possible evidence, so they are
+#: exactly the rows the window can afford to drop; all remain on the
+#: full-catalog gate ORACLE_FULL_rN + bench every round).
+_ROTATION_R15: dict[str, float] = {
+    # connector core first
+    "dns_axfr_read": 4.5,
+    "dns_ixfr_delta_read": 4.5,
+    "dns_stream_sink_roundtrip": 4.5,
+    "dns_read_zone_pushdown": 4.5,
+    "dns_ip_cidr_attribution": 4.5,
+    # never-windowed cheap
+    "format_orc_roundtrip": 5,
+    "pack_greedy_bins": 5,
+    "orders_pivot_status": 5,
+    "dedup_cluster_label_propagation": 5,
+    "tpch_q2_min_cost_supplier": 5,
+    "tpch_q9_product_type_profit": 5,
+    "tpch_q11_important_stock": 5,
+    "tpch_q20_potential_promotion": 5,
+    # stale-green backfill (last driver row r5)
+    "changelog_latest_wins": 5,
+    "fqdn_normalize": 5,
+    "zone_from_fqdn": 5,
+    "group_by_zone": 5,
+    "validate_updates": 5,
+    "json_extract": 5,
+    "json_roundtrip": 5,
+    "distinct_zones": 5,
+    "zone_serial_max": 5,
+    "exactly_once_check": 5,
+    "chronological_topk": 5,
+    "tpch_q1_pricing_summary": 5,
+    "revenue_by_nation": 5,
+    "sessionize_window_native": 5,
+    "tumbling_window_counts": 5,
+    "segment_union_distinct": 5,
+    # changed this round (verify-side hash-sampled pair bound)
+    "multimodal_phash_neardup": 5,
+    # never-windowed streaming/incremental mid-tier
+    "dedup_minhash_stream": 5.45,
+    "sketch_countmin_stream": 5.45,
+    "index_postings_upsert": 5.45,
+    "retrieval_mmr_rerank": 5.45,
+    # never-windowed index-backed tail
+    "similarity_ivf_upsert": TIER_WINDOW_TAIL,
+    "similarity_ivf_delete_serve": TIER_WINDOW_TAIL,
+    "similarity_range_ivf": TIER_WINDOW_TAIL,
+    "similarity_range_recall": TIER_WINDOW_TAIL,
+    "similarity_ivf_cell_balance": TIER_WINDOW_TAIL,
+    "similarity_topk_filtered": TIER_WINDOW_TAIL,
+    "similarity_ivf_cell_split": TIER_WINDOW_TAIL,
+    "similarity_ivf_cell_split_fixpoint": TIER_WINDOW_TAIL,
+    "similarity_filtered_recall": TIER_WINDOW_TAIL,
+    "similarity_pq_upsert": TIER_WINDOW_TAIL,
+    "similarity_pq_drift": TIER_WINDOW_TAIL,
+    "similarity_pq_upsert_stream": TIER_WINDOW_TAIL,
+    "dedup_semantic_incremental": TIER_WINDOW_TAIL,
+    "dedup_semantic_stream": TIER_WINDOW_TAIL,
+    "index_bm25_dense": TIER_WINDOW_TAIL,
+    "similarity_hybrid_rrf": TIER_WINDOW_TAIL,
+    # rotate OUT — the 44 r14-green window entries not retained above
+    "asof_join_last_error": 6,
+    "text_langid_confusion": 6,
+    "dedup_minhash_incremental": 6,
+    "dedup_exact_substring": 6,
+    "dedup_url_canonical": 6,
+    "dedup_cluster_star_contraction": 6,
+    "mlprep_leakage_free_split": 6,
+    "sketch_countmin_freq": 6,
+    "curation_boilerplate_fraction": 6,
+    "contamination_bloom_filter": 6,
+    "curation_boilerplate_clean": 6,
+    "pack_tokens_stream": 6,
+    "graph_pagerank_transitions": 6,
+    "changelog_max_by_variant": 6,
+    "sessionize_stream_stateful": 6,
+    "index_bm25_topk": 6,
+    "validate_quality_constraints": 6,
+    "changelog_scd2_intervals": 6,
+    "tpch_q5_local_supplier_volume": 6,
+    "tpch_q7_volume_shipping": 6,
+    "tpch_q8_market_share": 6,
+    "tpch_q10_returned_items": 6,
+    "tpch_q14_promo_revenue": 6,
+    "tpch_q17_small_quantity_revenue": 6,
+    "tpch_q19_disjunctive_revenue": 6,
+    "tpch_q12_shipmode_priority": 6,
+    "tpch_q16_supplier_part_counts": 6,
+    "tpch_q21_waiting_suppliers": 6,
+    "hypertable_rollup": 6,
+    "changelog_incremental_merge": 6,
+    "ivm_join_delta": 6,
+    "ivm_agg_delta": 6,
+    "range_join_bucketed": 6,
+    "dedup_semantic_semdedup": 6,
+    "similarity_ivf_recall": 6,
+    "similarity_ivf_upsert_rebalance": 6,
+    "similarity_topk_filtered_rare": 6,
+    "similarity_filtered_rare_recall": 6,
+    "similarity_upsert_serve_fresh": 6,
+    "similarity_topk_ivfpq": 6,
+    "similarity_ivfpq_recall": 6,
+    "similarity_topk_filtered_ivfpq": 6,
+    "similarity_filtered_ivfpq_recall": 6,
+    "retrieval_filtered_fused_mmr": 6,
+}
+
 
 def register(
     name: str,
@@ -847,6 +988,7 @@ def catalog() -> dict[str, Query]:
     rotation = {
         **_ROTATION_R4, **_ROTATION_R6, **_ROTATION_R7, **_ROTATION_R8,
         **_ROTATION_R9, **_ROTATION_R10, **_ROTATION_R11, **_ROTATION_R12,
+        **_ROTATION_R15,
     }
     for q in _REGISTRY.values():
         q.tier = rotation.get(q.name, q.tier)

@@ -64,19 +64,30 @@ def test_entry_runs_on_vanilla_session(spark, sf_dir):
             conf.set(k, v)
 
 
-def test_window_has_one_streaming_entry():
-    # VERDICT r9 item 1a: the correctness window's wall-clock is the
-    # prime suspect for the empty r9 gate.  Pin the rotation policy:
-    # at most ONE streaming query inside the driver's ~50-entry
-    # window (each stages files and runs its own jobs).
+def test_window_streaming_entries_pinned():
+    # VERDICT r9 item 1a capped the window at ONE LLM-pipeline
+    # streaming query (each stages files and runs its own jobs — the
+    # wall-clock suspect for the empty r9 gate).  Round 15 lifts the
+    # cap FOR THIS ROUND ONLY (VERDICT r14 item 1): the four streaming
+    # variants below are the last never-driver-checked streaming
+    # evidence in the catalog, the r14 starve gate makes the window
+    # allocator-safe by construction, and the r14 gate's 153 s wall
+    # against a 1500 s budget leaves 10x headroom.  This test pins the
+    # exception to EXACTLY these four — any further streaming creep
+    # into the window must revisit the cap deliberately.
     from spark_dns_spark.plans.catalog import catalog
 
     window = list(catalog().values())[:50]
     # the connector's stream roundtrip is reference-core (S7/S10) and
-    # always stays; the cap applies to the LLM-pipeline streaming tier
-    streaming = [
+    # always stays; the pin applies to the LLM-pipeline streaming tier
+    streaming = sorted(
         q.name
         for q in window
         if "streaming" in q.tags and "connector" not in q.tags
-    ]
-    assert streaming == ["sessionize_stream_stateful"], streaming
+    )
+    assert streaming == [
+        "dedup_minhash_stream",
+        "dedup_semantic_stream",
+        "similarity_pq_upsert_stream",
+        "sketch_countmin_stream",
+    ], streaming
