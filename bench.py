@@ -225,6 +225,10 @@ def main() -> None:
     print(f"# calib {calib['version']}: {calib['sec']}s "
           f"{calib['parts']}", file=sys.stderr)
 
+    ann_warm = _warm_ann_indexes(spark, sf_dir, qs)
+    print(f"# ann warm pass: {ann_warm['sec']}s over "
+          f"{ann_warm['n_queries']} queries", file=sys.stderr)
+
     timings: dict[str, float] = {}
     count_only: dict[str, float] = {}
     skipped: list[str] = []
@@ -262,6 +266,7 @@ def main() -> None:
         "count_only": count_only,
         "sf": sf,
         "calib": calib,
+        "ann_warm": ann_warm,
     }
     if skipped:
         detail["skipped"] = skipped
@@ -306,12 +311,60 @@ def main() -> None:
         },
         "top5_slowest": slowest,
         "ann_tier_sum": ann_tier_sum,
+        "ann_warm_sec": ann_warm["sec"],
         "n_errors": len(errors),
         "n_skipped": len(skipped),
         "detail_file": detail_path.name,
         "calib": calib,
     }
     print(json.dumps(out))
+
+
+#: Headline-name prefixes whose queries serve from persisted
+#: cross-process disk-cached indexes (feeds.cached_index_path): the
+#: ANN/retrieval serving stack plus the IVF-backed semantic dedup.
+ANN_WARM_PREFIXES = (
+    "similarity_",
+    "retrieval_",
+    "index_bm25_",
+    "dedup_semantic_",
+)
+
+
+def _warm_ann_indexes(spark, sf_dir, qs) -> dict:
+    """Untimed warm pass over every index-backed headline query
+    (VERDICT r14 item 2): the index disk cache is keyed by package
+    code mtime, so the first bench after a checkout rebuilds every
+    IVF/PQ/k-means index from scratch — and WHICH timed sample
+    absorbed that cost depended on query order and cross-process
+    cache state, making the ANN tier's numbers irreproducible across
+    hosts (driver r14 read 1.5-2.2x the builder's same-day run on
+    zero plan changes).  Running each index-backed query once here,
+    count-only consumed and untimed, forces every persisted index to
+    exist BEFORE the timing loop: everything after this measures
+    warm-index engine time.  The pass's own wall-clock is emitted as
+    ``ann_warm_sec`` so the cold-build cost stays visible instead of
+    silently vanishing."""
+    t0 = time.monotonic()
+    warmed = []
+    for name in HEADLINE:
+        if not name.startswith(ANN_WARM_PREFIXES):
+            continue
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        try:
+            fn(spark, sf_dir).select(F.count(F.lit(1))).collect()
+            warmed.append(name)
+        except Exception as exc:  # noqa: BLE001
+            # the timing loop reports per-query errors properly; the
+            # warm pass must never kill the bench
+            print(f"# warm-pass ERROR {name}: {exc}"[:300], file=sys.stderr)
+        release_all_caches(spark)
+    return {
+        "sec": round(time.monotonic() - t0, 3),
+        "n_queries": len(warmed),
+    }
 
 
 def _calibrate(spark) -> dict:
