@@ -81,7 +81,28 @@ _OWN_ARTIFACTS = frozenset(
 ) | {".complete.v1", ".complete.v2", ".complete.v3"}
 
 
-def build(out_dir: str) -> str:
+def build(out_dir: str, copies: int = COPIES) -> str:
+    """Build a ``copies``-x re-keyed growth of sf0.1 into ``out_dir``.
+
+    ``copies=10`` is the standing sf1 shape (byte-identical to every
+    prior round: the k<26 token suffix and k<64 rotation branches
+    below are exactly the original formulas).  ``copies=100`` is the
+    r15 sf10 probe (VERDICT r14 item 4) — the two bijection families
+    extend without degenerating:
+
+    - token suffix: one letter for k<26 (``qa..qz``), two letters
+      beyond (``qba..qdv``) — suffixes stay distinct per copy and all
+      lowercase, so the ``[a-z]{3,}`` token-shape predicates hold and
+      shingle spaces stay disjoint across all 100 copies;
+    - embedding transform: cyclic rotation by ``7k mod 64`` composed,
+      for k >= 64 (where the 64 distinct rotations would repeat and
+      create exact cross-copy duplicate vectors), with a global
+      negation — both are orthogonal maps applied uniformly within a
+      copy, so every within-copy inner product is preserved while
+      cross-copy similarity stays at background levels.
+    """
+    if copies > 100:
+        raise ValueError("copies > 100: extend the suffix alphabet first")
     out = Path(out_dir)
     marker = out / ".complete.v2"
     if marker.exists():
@@ -101,7 +122,15 @@ def build(out_dir: str) -> str:
     out.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
     con.execute("SET threads=8")
-    copies = f"(SELECT unnest(range({COPIES})) AS k)"
+    copies_rel = f"(SELECT unnest(range({copies})) AS k)"
+    # per-copy token suffix: one lowercase letter for k < 26 (the
+    # byte-exact sf1 formula), two beyond — distinct per copy, always
+    # [a-z]+ so token-shape predicates are preserved
+    suffix = (
+        "CASE WHEN c.k < 26 THEN 'q' || chr(97 + c.k::INT) "
+        "ELSE 'q' || chr(97 + (c.k // 26)::INT) "
+        "|| chr(97 + (c.k % 26)::INT) END"
+    )
 
     # documents: per-copy token suffix 'q'+letter (keeps [a-z]{3,}
     # token-shape predicates true); n_chars recomputed for the new text
@@ -112,17 +141,17 @@ COPY (
          CASE WHEN c.k = 0 THEN d.text
               ELSE array_to_string(
                      list_transform(string_split(d.text, ' '),
-                                    t -> t || 'q' || chr(97 + c.k::INT)),
+                                    t -> t || {suffix}),
                      ' ')
          END AS text,
          d.lang, d.source,
          CASE WHEN c.k = 0 THEN d.n_chars
               ELSE len(array_to_string(
                      list_transform(string_split(d.text, ' '),
-                                    t -> t || 'q' || chr(97 + c.k::INT)),
+                                    t -> t || {suffix}),
                      ' '))::BIGINT
          END AS n_chars
-  FROM read_parquet('{SRC}/documents.parquet') d, {copies} c
+  FROM read_parquet('{SRC}/documents.parquet') d, {copies_rel} c
   ORDER BY doc_id
 ) TO '{out}/documents.parquet' (FORMAT PARQUET)
 """
@@ -134,13 +163,17 @@ COPY (
 COPY (
   SELECT e.vec_id + c.k*{OFF} AS vec_id,
          CASE WHEN c.k = 0 THEN e.embedding
-              ELSE CAST(list_concat(
+              WHEN c.k < 64 THEN CAST(list_concat(
                      e.embedding[((7*c.k) % {DIM}) + 1 : {DIM}],
                      e.embedding[1 : (7*c.k) % {DIM}]
                    ) AS FLOAT[])
+              ELSE CAST(list_transform(list_concat(
+                     e.embedding[((7*c.k) % {DIM}) + 1 : {DIM}],
+                     e.embedding[1 : (7*c.k) % {DIM}]
+                   ), x -> -x) AS FLOAT[])
          END AS embedding,
          e.label
-  FROM read_parquet('{SRC}/embeddings.parquet') e, {copies} c
+  FROM read_parquet('{SRC}/embeddings.parquet') e, {copies_rel} c
   ORDER BY vec_id
 ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
 """
@@ -153,7 +186,7 @@ COPY (
   SELECT e.event_id + c.k*{OFF} AS event_id, e.ts,
          e.user_id + c.k*{OFF} AS user_id,
          e.event_type, e.value, e.props
-  FROM read_parquet('{SRC}/events.parquet') e, {copies} c
+  FROM read_parquet('{SRC}/events.parquet') e, {copies_rel} c
   ORDER BY event_id
 ) TO '{out}/events.parquet' (FORMAT PARQUET)
 """
@@ -181,7 +214,7 @@ COPY (
             f"""
 COPY (
   SELECT {proj}
-  FROM read_parquet('{SRC}/{t}.parquet') t, {copies} c
+  FROM read_parquet('{SRC}/{t}.parquet') t, {copies_rel} c
   ORDER BY {keycols[0]}
 ) TO '{out}/{t}.parquet' (FORMAT PARQUET)
 """
@@ -194,7 +227,7 @@ SELECT (SELECT count(*) FROM read_parquet('{SRC}/documents.parquet')),
        (SELECT count(*) FROM read_parquet('{out}/documents.parquet'))
 """
     ).fetchone()
-    assert n1 == COPIES * n0, (n0, n1)
+    assert n1 == copies * n0, (n0, n1)
     marker.touch()
     return str(out)
 
