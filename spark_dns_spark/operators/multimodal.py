@@ -12,9 +12,13 @@ The real image/audio codecs are NOT available in this container, so
 :func:`decode_features` ships a deterministic arithmetic "fake" decoder
 (byte-length → dimensions, first/last byte probe) behind the same
 batch-iterator plumbing a libjpeg/ffmpeg decoder would use; requesting
-a real decoder raises ``NotImplementedError`` at plan-build time.  The
-fake decode is pure byte arithmetic, so it has an exact SQL oracle —
-the plumbing is verified end-to-end, only the codec body is swapped.
+a real decoder raises ``NotImplementedError`` at plan-build time —
+except ``decoder='image'`` when Pillow is importable (r15): then the
+same plumbing runs a real header decode (:func:`_decode_images_pillow`,
+exercised by a test that skips cleanly without Pillow; the catalog
+always uses 'fake', so every oracle hash is unchanged).  The fake
+decode is pure byte arithmetic, so it has an exact SQL oracle — the
+plumbing is verified end-to-end, only the codec body is swapped.
 """
 
 from __future__ import annotations
@@ -23,6 +27,19 @@ from collections.abc import Iterator
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Import-gated real image codec (VERDICT r14 item 7).  MODULE import
+# time, never mid-query: the r12 driver sandbox killed queries whose
+# function bodies mmap'd a fresh native .so under memory pressure
+# (tests/test_import_hostility.py pins the policy).  Pillow is absent
+# in this container, so the gate normally stays closed and the
+# deterministic fake decoder below remains the oracle-checked default.
+try:
+    import io as _io
+
+    from PIL import Image as _pil_image
+except Exception:  # Pillow not installed — the expected state here
+    _pil_image = None
 
 #: Output schema of the (fake) feature decoder.
 DECODE_SCHEMA = (
@@ -64,11 +81,14 @@ def decode_features(
     environment).  ``decoder in {'image','audio','video'}`` — the real
     codec path; unavailable here by design.
     """
+    if decoder == "image" and _pil_image is not None:
+        return _decode_images_pillow(df, payload_col, id_col, kind_col)
     if decoder in _REAL_DECODERS:
         raise NotImplementedError(
             f"real {decoder!r} decoding needs codec libraries not present "
             "in this container; wire the codec into _decode_batches and "
-            "keep the same batch-iterator shape"
+            "keep the same batch-iterator shape (the 'image' branch "
+            "above shows the pattern — it opens when Pillow exists)"
         )
     if decoder != "fake":
         raise ValueError(f"unknown decoder: {decoder!r}")
@@ -94,6 +114,47 @@ def decode_features(
                     # → 0.  The oracle is octet-level too (hex(encode())
                     # slicing), so non-ASCII corpora agree byte-for-byte
                     # (ADVICE r3; tested with a UTF-8 fixture).
+                    "byte_probe": payload.map(
+                        lambda b: (b[0] + b[-1]) if len(b) else 0
+                    ),
+                }
+            )
+
+    return df.mapInPandas(_decode_batches, schema=DECODE_SCHEMA)
+
+
+def _decode_images_pillow(
+    df: DataFrame, payload_col: str, id_col: str, kind_col: str
+) -> DataFrame:
+    """Real image decode through the SAME batch-iterator plumbing and
+    output schema as the fake decoder — the codec body is the only
+    swapped part.  Only reachable when Pillow imported at module load
+    (see the gate at the top); the catalog never takes this path, so
+    every oracle hash is unchanged.  width/height/n_pixels come from
+    the decoded header; byte_probe keeps its raw-octet meaning
+    (first + last payload byte) so both decoders agree on it."""
+
+    def _decode_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payload = pdf[payload_col]
+
+            def dims(b) -> tuple[int, int]:
+                with _pil_image.open(_io.BytesIO(bytes(b))) as im:
+                    return im.size
+
+            wh = payload.map(dims)
+            width = wh.map(lambda s: s[0])
+            height = wh.map(lambda s: s[1])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "kind": pdf[kind_col],
+                    "n_bytes": payload.map(len),
+                    "width": width,
+                    "height": height,
+                    "n_pixels": width * height,
                     "byte_probe": payload.map(
                         lambda b: (b[0] + b[-1]) if len(b) else 0
                     ),
