@@ -48,3 +48,8 @@ sf1-oracle:
 	python tools/make_sf1.py
 	python tools/check_oracle.py --json ORACLE_SF1_$(ROUND).json \
 	  .scratch/sf1 $$(python -c "from tools.bench_sf1 import ORACLE_QUERIES; print(' '.join(ORACLE_QUERIES))")
+
+# 100x-growth evidence (VERDICT r14 item 4): generate sf10 (2.2 GB)
+# and time the top-10 heavies against squared work-growth bounds
+sf10:
+	python tools/bench_sf10.py --json SCALE_SF10_$(ROUND).json

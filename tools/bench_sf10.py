@@ -71,6 +71,17 @@ def main() -> None:
     if args and args[0] == "--json":
         out_path = args[1]
         args = args[2:]
+    only = None
+    if args and args[0] == "--only":
+        only = set(args[1].split(","))
+        args = args[2:]
+
+    # 100x data in one local JVM needs a bigger heap than the 8g test
+    # default (the first probe run OOM'd the driver inside
+    # similarity_range_ivf's shuffle buffers); a cluster would scale
+    # executor memory with the data the same way.  Overridable, and
+    # recorded in the artifact.
+    _os_trace.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 
     from tools.make_sf1 import build
 
@@ -86,20 +97,31 @@ def main() -> None:
 
     qs = e.queries()
     results: dict[str, dict] = {}
+    errors: dict[str, str] = {}
     for name in QUERIES:
+        if only is not None and name not in only:
+            continue
         fn = qs[name]
         row: dict = {}
-        for label, sf, reps in (("sf0.1", SF01, 2), ("sf10", sf10, 1)):
-            fn(spark, sf).count()  # warm (index builds, code paths)
-            release_all_caches(spark)
-            times = []
-            for _ in range(reps):
-                t0 = time.monotonic()
-                n = fn(spark, sf).count()
-                times.append(time.monotonic() - t0)
+        try:
+            for label, sf, reps in (("sf0.1", SF01, 2), ("sf10", sf10, 1)):
+                fn(spark, sf).count()  # warm (index builds, code paths)
                 release_all_caches(spark)
-            row[label] = round(min(times), 3)
-            row[f"rows_{label}"] = n
+                times = []
+                for _ in range(reps):
+                    t0 = time.monotonic()
+                    n = fn(spark, sf).count()
+                    times.append(time.monotonic() - t0)
+                    release_all_caches(spark)
+                row[label] = round(min(times), 3)
+                row[f"rows_{label}"] = n
+        except Exception as exc:  # noqa: BLE001
+            # one dead query must not zero out the probe (the first
+            # run died whole on a heap OOM five queries in)
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# ERROR {name}: {errors[name]}", file=sys.stderr)
+            release_all_caches(spark)
+            continue
         row["ratio"] = round(row["sf10"] / max(row["sf0.1"], 1e-9), 2)
         row["work_growth_x"] = (
             DATA_GROWTH_X**2 if name in QUADRATIC_WORK
@@ -158,6 +180,8 @@ def main() -> None:
         "breaches": sorted(
             n for n, r in results.items() if not r["in_bounds"]
         ),
+        "errors": errors,
+        "driver_mem": _os_trace.environ.get("SPARK_GRAFT_DRIVER_MEM"),
         "sf10_dir": sf10,
         "note": (
             "ratios are weak scaling on FIXED local[32] hardware over "
