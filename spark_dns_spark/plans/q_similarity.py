@@ -1518,43 +1518,99 @@ def similarity_range_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _range_pairs(spark, sf_dir)
 
 
-def _range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: Corpus-size crossover for the range serve's physical strategy
+#: (r15, after the sf10 probe killed the pair-shuffle plan on disk).
+#: Below: the candidate pair set is distinct'ed BEFORE the distance
+#: filter — half the (interpreted) fold evaluations, at the price of
+#: three pair-sized shuffles; at n = 20k those are ~0.5 GB and the
+#: plan measured 1.5x faster than the in-stage one (33 vs 51 s at
+#: sf1, interleaved A/B).  Above: pair-sized shuffles grow as
+#: n * nprobe * cellsize ~ n^1.5 — ~26 GB of exchange input at
+#: n = 200k, which spilled >60 GB and filled the disk — so the
+#: vectors ride into the cell join and candidates are
+#: distance-filtered IN-STAGE, never reaching an exchange.  The same
+#: crossover logic AQE applies to broadcast-vs-shuffle joins, made
+#: explicit because the deciding quantity (candidate volume) is
+#: invisible to AQE's input-side stats.  Both paths emit identical
+#: rows (tests/test_range_strategy.py pins equality).
+RANGE_SHUFFLE_MAX = 50_000
+
+
+def _range_pairs(
+    spark: SparkSession, sf_dir: str, strategy: str | None = None
+) -> DataFrame:
     """The range serve as an unwrapped builder (the recall metric
     composes it without re-entering the catalog wrapper, which would
-    release the outer query's caches — the _ivf_topk precedent)."""
+    release the outer query's caches — the _ivf_topk precedent).
+
+    ``strategy``: None = size-dispatch on :data:`RANGE_SHUFFLE_MAX`;
+    'shuffle' / 'instage' force a path (tests)."""
     n = _vectors(spark, sf_dir)
     root = ivf_index_path(spark, sf_dir)
     cents = load_cents(spark, f"{root}/cents")
     if not cents:
         return spark.createDataFrame([], "id_a bigint, id_b bigint, d2 bigint")
+    nv = n.count()
+    if strategy is None:
+        strategy = "shuffle" if nv <= RANGE_SHUFFLE_MAX else "instage"
     q = km.quantize(n.select("vec_id", "v"))
     asg = spark.read.parquet(f"{root}/asg").withColumnRenamed("vec_id", "nb")
-    probes = _nearest_cells(q, cents, nprobe(n.count()))
-    cand = (
-        probes.join(asg, "cell")
-        .filter(F.col("vec_id") != F.col("nb"))
-        .select(
-            F.least("vec_id", "nb").alias("id_a"),
-            F.greatest("vec_id", "nb").alias("id_b"),
-        )
-        .distinct()
-    )
-    qa = q.select(F.col("vec_id").alias("id_a"), km._qarr().alias("qa"))
-    qb = q.select(F.col("vec_id").alias("id_b"), km._qarr().alias("qb"))
+    probes = _nearest_cells(q, cents, nprobe(nv))
     # the HOF fold beats a 64-term unrolled expression here (measured
     # 2.7 s vs 19.3 s on the 1.3M-pair sf0.1 filter: the unrolled tree
     # pushes the post-join stage out of whole-stage codegen, while the
     # single interpreted fold stays cheap relative to the join)
+    if strategy == "shuffle":
+        cand = (
+            probes.join(asg, "cell")
+            .filter(F.col("vec_id") != F.col("nb"))
+            .select(
+                F.least("vec_id", "nb").alias("id_a"),
+                F.greatest("vec_id", "nb").alias("id_b"),
+            )
+            .distinct()
+        )
+        qa = q.select(F.col("vec_id").alias("id_a"), km._qarr().alias("qa"))
+        qb = q.select(F.col("vec_id").alias("id_b"), km._qarr().alias("qb"))
+        d2 = F.expr(
+            "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), "
+            "0L, (acc, e) -> acc + e)"
+        )
+        return (
+            cand.join(qa, "id_a")
+            .join(qb, "id_b")
+            .withColumn("d2", d2)
+            .filter(F.col("d2") <= RANGE_R2)
+            .select("id_a", "id_b", "d2")
+        )
+    # 'instage': what shuffles is n*nprobe probe rows + n assignment
+    # rows (each with one 64-int array, ~linear in n) and the radius
+    # SURVIVORS' distinct — output-sized, never candidate-sized.  A
+    # pair co-probed from both directions costs two distance
+    # evaluations instead of one; that multiplicity is <= 2 (each
+    # vector is a member of exactly one cell) and buys the exchange's
+    # disappearance.
+    qarr = q.select("vec_id", km._qarr().alias("qv"))
+    probes_q = probes.join(qarr, "vec_id")
+    members = asg.join(
+        qarr.select(F.col("vec_id").alias("nb"), F.col("qv").alias("mv")),
+        "nb",
+    )
     d2 = F.expr(
-        "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), "
+        "aggregate(zip_with(qv, mv, (x, y) -> (x - y) * (x - y)), "
         "0L, (acc, e) -> acc + e)"
     )
     return (
-        cand.join(qa, "id_a")
-        .join(qb, "id_b")
+        probes_q.join(members, "cell")
+        .filter(F.col("vec_id") != F.col("nb"))
         .withColumn("d2", d2)
         .filter(F.col("d2") <= RANGE_R2)
-        .select("id_a", "id_b", "d2")
+        .select(
+            F.least("vec_id", "nb").alias("id_a"),
+            F.greatest("vec_id", "nb").alias("id_b"),
+            "d2",
+        )
+        .distinct()
     )
 
 

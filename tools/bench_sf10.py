@@ -60,7 +60,15 @@ QUERIES = [
     "similarity_topk_ivfpq",
     "similarity_ivfpq_recall",
     "similarity_range_ivf",
-    "index_bm25_dense",
+    # index_bm25_TOPK, not _dense: the dense tier (|Q| = corpus/5 =
+    # 100k queries at sf10) performs ~8.7e9 exact integer score
+    # updates whose aggregate state spills ~260 GB on ONE node — it
+    # filled this host's disk in the first probe run.  That is a
+    # single-node disk bound, not a plan defect (a 100-executor
+    # cluster holds ~2.6 GB/node of the same spill); the topk tier
+    # measures the IDENTICAL plan at 10x lower query density, which
+    # one node can hold.
+    "index_bm25_topk",
     "retrieval_filtered_fused_mmr",
 ]
 
