@@ -219,8 +219,16 @@ _PART_MILLI_SQL = (
 
 def _bm25_topk(spark: SparkSession, sf_dir: str, qmod: int) -> DataFrame:
     root = _postings_root(spark, sf_dir)
-    scored = spark.read.parquet(os.path.join(root, "postings")).select(
-        "doc_id", "term", "part_milli"
+    # Explicit schema: an EMPTY corpus builds an index whose
+    # partitionBy("bucket") write emits zero part-files, and a bare
+    # read.parquet of that directory fails schema inference
+    # (UNABLE_TO_INFER_SCHEMA).  The postings layout is fixed at build
+    # time, so spelling it out costs nothing and makes the zero-row
+    # path a plain empty relation.
+    scored = (
+        spark.read.schema("doc_id BIGINT, term STRING, part_milli BIGINT")
+        .parquet(os.path.join(root, "postings"))
+        .select("doc_id", "term", "part_milli")
     )
 
     qterms = (
