@@ -14,6 +14,7 @@ Scale notes (the point of the three tiers):
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -68,9 +69,28 @@ def _lsh_geometry(spark: SparkSession, sf_dir: str) -> tuple[int, list[str]]:
     the data; a compile-time band width is quadratic at 100x).  The
     count is a parquet-metadata action; planes regenerate
     deterministically from md5 for any width."""
-    n_rows = load_table(spark, sf_dir, "embeddings").count()
-    rpb, nbands = sim.lsh_params(n_rows, NBANDS_BY_RPB)
+    rpb, nbands = sim.lsh_params(corpus_rows(sf_dir), NBANDS_BY_RPB)
     return rpb, sim.sign_planes(rpb * nbands)
+
+
+def corpus_rows(sf_dir: str) -> int:
+    """Embeddings-corpus row count from parquet FOOTER metadata — zero
+    Spark jobs (guide §5: the driver should do almost no data work).
+    Every serve-family query needs this count for its scale-adaptive
+    constants (nprobe, LSH geometry, shortlist size, broadcast
+    envelope); as a ``df.count()`` it was one full scan job + a driver
+    round-trip PER SITE, and the r15 profile showed the serve queries
+    spending over half their wall in exactly this class of tiny
+    driver-side jobs."""
+    return km.parquet_dir_rows(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _nrows(n: DataFrame) -> int:
+    """Corpus row count for a ``_vectors`` frame: the footer-metadata
+    count stashed by :func:`_vectors` when available, else a count job
+    (foreign frames, tests)."""
+    cached = getattr(n, "_corpus_rows", None)
+    return cached if cached is not None else n.count()
 
 
 #: Shared DuckDB CTE: float[] -> double[] plus precomputed norm.
@@ -161,9 +181,14 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature UDF onto one core — a no-op at real scale where file
     # counts provide splits.  Persist at the fan-out: every consumer
     # branches 2-3 ways (query side, corpus side, candidate build).
-    return spread(
+    n = spread(
         e.withColumn("nm", F.sqrt(sim.dot_unrolled("v", "v")))
     ).persist()
+    # Footer-metadata row count riding on the frame (_nrows): _vectors
+    # is a 1:1 map of embeddings, so the file count IS the frame count
+    # — downstream nprobe/envelope decisions read it without a job.
+    n._corpus_rows = corpus_rows(sf_dir)
+    return n
 
 
 def _scored_topk(n: DataFrame, cand: DataFrame) -> DataFrame:
@@ -698,7 +723,7 @@ def similarity_ivf_delete_serve(
             & ((F.col("vec_id") % UP_MOD) != DEL_REM)
         ).select("vec_id", "v")
     )
-    probes = _nearest_cells(qq, cents, nprobe(n.count())).withColumnRenamed(
+    probes = _nearest_cells(qq, cents, nprobe(_nrows(n))).withColumnRenamed(
         "vec_id", "query_id"
     )
     cand = (
@@ -747,7 +772,7 @@ def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qq = km.quantize(
         n.filter(F.col("vec_id") % QMOD == 0).select("vec_id", "v")
     )
-    probes = _nearest_cells(qq, cents, nprobe(n.count())).withColumnRenamed(
+    probes = _nearest_cells(qq, cents, nprobe(_nrows(n))).withColumnRenamed(
         "vec_id", "query_id"
     )
     # a (query, neighbor) pair can meet in up to IVF_ASSIGN shared
@@ -1550,7 +1575,7 @@ def _range_pairs(
     cents = load_cents(spark, f"{root}/cents")
     if not cents:
         return spark.createDataFrame([], "id_a bigint, id_b bigint, d2 bigint")
-    nv = n.count()
+    nv = _nrows(n)
     if strategy is None:
         strategy = "shuffle" if nv <= RANGE_SHUFFLE_MAX else "instage"
     q = km.quantize(n.select("vec_id", "v"))
@@ -1889,7 +1914,7 @@ def _filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.filter(F.col("vec_id") % QMOD == 0).select("vec_id", "v")
     )
     probes = _nearest_cells(
-        qq, cents, FILTER_WIDEN * nprobe(n.count())
+        qq, cents, FILTER_WIDEN * nprobe(_nrows(n))
     ).withColumnRenamed("vec_id", "query_id")
     lab = n.select("vec_id", "label")
     cand = (
@@ -1991,7 +2016,7 @@ def similarity_ivf_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "vec_id bigint, cell bigint, moved int"
         )
-    n_total = load_table(spark, sf_dir, "embeddings").count()
+    n_total = corpus_rows(sf_dir)  # footer metadata, no scan job
     # kc from the SAME derivation as the oracle's kprm CTE — len(cents)
     # would diverge for n < IVF_KC_MIN (k-means returns n cells) and the
     # demote join would silently drop spilled postings (ADVICE r10).
@@ -2278,7 +2303,7 @@ def similarity_ivf_cell_split_fixpoint(
         return spark.createDataFrame(
             [], "vec_id bigint, cell bigint, moved int"
         )
-    n_total = load_table(spark, sf_dir, "embeddings").count()
+    n_total = corpus_rows(sf_dir)  # footer metadata, no scan job
     kc = ivf_kc(n_total)
     cap = (CAP_NUM * IVF_ASSIGN * n_total + CAP_DEN * kc - 1) // (
         CAP_DEN * kc
@@ -2383,8 +2408,15 @@ def similarity_ivf_upsert_rebalance(
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    n_all = e.count()
-    base_n = e.filter((F.col("vec_id") % UP_MOD) != UP_REM).count()
+    # n_all from footer metadata; base_n needs the %-filter, but ONE
+    # aggregate job instead of two full-scan count() jobs (guide §1.2:
+    # don't compute things twice — both counts scanned embeddings).
+    n_all = corpus_rows(sf_dir)
+    base_n = int(
+        e.agg(
+            F.count_if((F.col("vec_id") % UP_MOD) != UP_REM).alias("c")
+        ).first()["c"]
+    )
     kc = ivf_kc(base_n)  # cells are the BASE model's — unchanged by upsert
     cap = (CAP_NUM * IVF_ASSIGN * n_all + CAP_DEN * kc - 1) // (
         CAP_DEN * kc
@@ -2587,7 +2619,7 @@ def _filtered_rare_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.filter(F.col("vec_id") % QMOD == 0).select("vec_id", "v")
     )
     probes = _nearest_cells(
-        qq, cents, filter_widen(n_labels) * nprobe(n.count())
+        qq, cents, filter_widen(n_labels) * nprobe(_nrows(n))
     ).withColumnRenamed("vec_id", "query_id")
     rlab = n.select(
         "vec_id", (F.col("vec_id") % RARE_MOD).alias("rlabel")
@@ -3164,7 +3196,7 @@ def similarity_upsert_serve_fresh(
     qq = km.quantize(
         n.filter(F.col("vec_id") % QMOD == 0).select("vec_id", "v")
     )
-    probes = _nearest_cells(qq, cents, nprobe(n.count())).withColumnRenamed(
+    probes = _nearest_cells(qq, cents, nprobe(_nrows(n))).withColumnRenamed(
         "vec_id", "query_id"
     )
     cand = (
