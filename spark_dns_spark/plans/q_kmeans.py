@@ -84,13 +84,16 @@ _Q_COLS_SQL = Q_COLS_SQL
 
 def quantize(e: DataFrame) -> DataFrame:
     """(vec_id, v: array<double>) -> (vec_id, q0..q{DIM-1}) in the shared
-    integer domain — the Spark mirror of :data:`Q_COLS_SQL`."""
-    return e.select(
+    integer domain — the Spark mirror of :data:`Q_COLS_SQL`.
+
+    One ``selectExpr`` call: the per-column ``F.expr`` form paid DIM
+    py4j round-trips (~0.4 s of driver latency per call site at
+    DIM=64 — the r15 build profile), the string list is marshalled and
+    parsed JVM-side in a single gateway call."""
+    return e.selectExpr(
         "vec_id",
         *[
-            F.expr(f"CAST(floor(v[{i}]*{SCALE}D + 0.5D) AS BIGINT)").alias(
-                f"q{i}"
-            )
+            f"CAST(floor(v[{i}]*{SCALE}D + 0.5D) AS BIGINT) AS q{i}"
             for i in range(DIM)
         ],
     )

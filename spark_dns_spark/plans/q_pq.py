@@ -392,8 +392,12 @@ def _load_books(spark: SparkSession, root: str) -> list[list[list[int]]]:
     via q_similarity.load_cents' sharded path above KC_DRIVER_MAX),
     this model is corpus-size-INDEPENDENT: PQ_M x PQ_K x SUBD =
     16 x 16 x 4 = 1024 ints regardless of n, so collect-and-close-over
-    is the permanently correct shape here (VERDICT r10 item 3 note)."""
-    rows = spark.read.parquet(f"{root}/books").orderBy("m", "cell").collect()
+    is the permanently correct shape here (VERDICT r10 item 3 note).
+    Loaded via pyarrow (km.read_parquet_dir) instead of a
+    ``spark.read...collect()`` job — same r15 driver-overhead fix as
+    q_similarity.load_cents (~0.35 s of per-serve job latency)."""
+    rows = km.read_parquet_dir(f"{root}/books", ["m", "cell", "cv"]).to_pylist()
+    rows.sort(key=lambda r: (r["m"], r["cell"]))
     books: list[list[list[int]]] = [[] for _ in range(PQ_M)]
     for r in rows:
         books[int(r["m"])].append([int(x) for x in r["cv"]])
@@ -1124,13 +1128,8 @@ def _filtered_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "query_id", F.col("query_id").alias("neighbor_id")
             ),
         )
-    n_count = n.count()
-    n_labels = max(
-        n.select((F.col("vec_id") % qs.RARE_MOD).alias("rlabel"))
-        .distinct()
-        .count(),
-        1,
-    )
+    n_count = qs._nrows(n)  # footer metadata, no scan job (r15)
+    n_labels = qs.rare_label_count(spark, sf_dir)
     asg = spark.read.parquet(f"{ivf_root}/asg").withColumnRenamed(
         "vec_id", "neighbor_id"
     )

@@ -172,7 +172,35 @@ def _scored_topk_sql(cand_cte: str) -> str:
     return cand_cte + _scored_topk_body("cand")
 
 
+#: Process-lifetime memo of the ``_vectors`` FRAME (the lazy plan, not
+#: its data): the fused/recall queries call ``_vectors`` 2-3 times per
+#: invocation, and every call built a NEW persisted DataFrame over the
+#: same parquet — three identical cache entries, three executions of
+#: the norm pipeline, and ~0.3 s of py4j plan-build latency each (r15
+#: build profile).  Reusing the frame object keeps ONE cache entry per
+#: corpus.  Cached BLOCKS are still released between queries/runs by
+#: release_all_caches (clearCache drops the CacheManager entry), so
+#: every timed run recomputes from parquet — the memo only skips
+#: rebuilding an identical lazy plan; ``persist()`` below re-registers
+#: the frame after each cache release.  Keyed by (applicationId,
+#: sf_dir, embeddings mtime) — a new session or changed input builds
+#: fresh.
+_VECTORS_MEMO: dict = {}
+
+
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = 0
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), mtime)
+    memo = _VECTORS_MEMO.get(key)
+    if memo is not None:
+        # re-register with the cache manager (idempotent while cached;
+        # required after release_all_caches cleared the entry)
+        memo.persist()
+        return memo
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -188,6 +216,7 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is a 1:1 map of embeddings, so the file count IS the frame count
     # — downstream nprobe/envelope decisions read it without a job.
     n._corpus_rows = corpus_rows(sf_dir)
+    _VECTORS_MEMO[key] = n
     return n
 
 
@@ -416,11 +445,16 @@ def load_cents(spark: SparkSession, cents_dir: str):
     import) — the previous mid-query ``import pyarrow.dataset`` here
     mapped a fresh native .so per driver process and died under the
     r12 driver sandbox's memory pressure, failing 10/50 gate queries
-    (VERDICT r12 item 1)."""
+    (VERDICT r12 item 1).  The K-row read itself goes through
+    :func:`km.read_parquet_dir` (pyarrow, same loaded module): the
+    previous ``spark.read...collect()`` was a full Spark job + driver
+    round-trip per serve invocation (~0.35 s each, r15 build profile)
+    to fetch ~143 tiny rows at sf0.1."""
     if km.parquet_dir_rows(cents_dir) >= KC_DRIVER_MAX:
         return cents_dir
-    rows = spark.read.parquet(cents_dir).orderBy("cell").collect()
-    return [[int(x) for x in r["cv"]] for r in rows]
+    tbl = km.read_parquet_dir(cents_dir, ["cell", "cv"]).to_pylist()
+    tbl.sort(key=lambda r: r["cell"])
+    return [[int(x) for x in r["cv"]] for r in tbl]
 
 
 def _nearest_cells(
@@ -495,6 +529,23 @@ def ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
         )
         cdf.coalesce(1).write.mode("overwrite").parquet(f"{root}/cents")
         asg.write.mode("overwrite").parquet(f"{root}/asg")
+        # corpus stats the FILTERED serves need for probe widening —
+        # measured once at build time (the one corpus scan the build
+        # already pays) and persisted as index metadata, exactly like
+        # the centroids: the serves previously re-measured the rare-
+        # label cardinality with a distinct().count() job on EVERY
+        # invocation (~0.7 s each, two serves in the fused pipeline —
+        # r15 build profile).  Production ANN indexes carry their
+        # stats; re-deriving model state per query is not the serve
+        # shape.
+        nlab = (
+            q.select((F.col("vec_id") % RARE_MOD).alias("r"))
+            .distinct()
+            .count()
+        )
+        spark.createDataFrame(
+            [("n_rare_labels", int(nlab))], "key string, value bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{root}/stats")
         q.unpersist()
 
     from spark_dns_spark.plans.feeds import cached_index_path  # noqa: PLC0415
@@ -1832,6 +1883,20 @@ FILTER_LBASE = 10
 RARE_MOD = 100
 
 
+def rare_label_count(spark: SparkSession, sf_dir: str) -> int:
+    """Distinct rare-label (``vec_id % RARE_MOD``) cardinality from the
+    persisted IVF index's ``stats/`` metadata (written at build time —
+    see :func:`ivf_index_path`): a pyarrow footer-sized read instead of
+    the per-invocation ``distinct().count()`` job both filtered serves
+    used to run (r15).  Clamped to >= 1 like the previous call sites."""
+    root = ivf_index_path(spark, sf_dir)
+    rows = km.read_parquet_dir(f"{root}/stats", ["key", "value"]).to_pylist()
+    nlab = next(
+        (int(r["value"]) for r in rows if r["key"] == "n_rare_labels"), 0
+    )
+    return max(nlab, 1)
+
+
 def filter_widen(n_labels: int) -> int:
     """Selectivity-scaled probe widening (VERDICT r10 item 7): probes
     grow with the SQUARE ROOT of the selectivity ratio vs the base
@@ -2607,11 +2672,7 @@ def _filtered_rare_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "query_id", F.col("query_id").alias("neighbor_id")
             )
         )
-    n_labels = (
-        n.select((F.col("vec_id") % RARE_MOD).alias("rlabel"))
-        .distinct()
-        .count()
-    )
+    n_labels = rare_label_count(spark, sf_dir)
     asg = spark.read.parquet(f"{root}/asg").withColumnRenamed(
         "vec_id", "neighbor_id"
     )
