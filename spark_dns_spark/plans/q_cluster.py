@@ -14,6 +14,8 @@ min-per-source — an independent formulation of the same components.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -61,7 +63,10 @@ def _edges_and_labels(spark: SparkSession, sf_dir: str):
         .withColumn("label", F.col("doc_id"))
         .persist()
     )
-    labels.count()
+    # the materializing count was always run here — keep its VALUE on
+    # the frame so iterative consumers can pick broadcast-sized plans
+    # without a second job (the _corpus_rows convention, r15)
+    labels._n_docs = labels.count()
     return edges, labels, pairs
 
 
@@ -751,6 +756,13 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: graph the local majority stabilizes in 2-3 rounds.
 LPA_ITERS = 3
 
+#: Broadcast envelope for the per-round label state (doc_id, label):
+#: 16 bytes/row, 4M nodes ~ 64 MB framed — the attach_cosine /
+#: PageRank envelope.  Env-overridable to force the keyed-join path.
+LPA_BCAST_MAX = int(
+    os.environ.get("SPARK_DNS_LPA_BCAST_MAX", "4000000")
+)
+
 
 def _lpa_rounds_sql(rounds: int) -> str:
     parts = ["""
@@ -812,21 +824,40 @@ WITH pairs AS ({MINHASH_LSH_SQL}
 def dedup_cluster_label_propagation(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from pyspark.sql import Window
-
     edges, labels, _pairs = _edges_and_labels(spark, sf_dir)
+    # Label state is one row per graph node — broadcast it into each
+    # round's join when it fits (the node count is already measured by
+    # _edges_and_labels' materializing count), so the EDGE list is
+    # never shuffled per round (guide §3.1/§2.4); above the envelope
+    # the keyed join stays — at 100 TB edges and labels pre-bucket on
+    # the same key.
+    small = getattr(labels, "_n_docs", None) is not None and (
+        labels._n_docs <= LPA_BCAST_MAX
+    )
+    bc = F.broadcast if small else (lambda df: df)
     lbl = labels
     for _ in range(LPA_ITERS):
         cnt = (
-            edges.join(lbl, edges.dst == lbl.doc_id)
+            edges.join(bc(lbl), edges.dst == lbl.doc_id)
             .groupBy("src", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        w = Window.partitionBy("src").orderBy(F.col("c").desc(), "label")
+        # per-node top-1 as ONE hash aggregate: max of the struct
+        # (c, -label) is the (count DESC, label ASC) argmax — same
+        # deterministic tie-break as the previous row_number window
+        # without its blocking sort + extra exchange (the MMR
+        # single-aggregate argmax precedent, VERDICT r13)
         lbl = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("src").alias("doc_id"), "label")
+            cnt.groupBy("src")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select(
+                F.col("src").alias("doc_id"),
+                (-F.col("m.nl")).alias("label"),
+            )
         )
     sizes = lbl.groupBy("label").agg(
         F.count(F.lit(1)).alias("community_size")

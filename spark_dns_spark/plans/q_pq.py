@@ -1116,70 +1116,49 @@ def _filtered_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_filtered_rare_topk`` — the four-stage filtered production
     serve: label prune -> probe stored cells -> ADC-rank stored codes
     -> exact re-rank."""
-    n = qs._vectors(spark, sf_dir)
-    ivf_root = qs.ivf_index_path(spark, sf_dir)
-    pq_root = pq_index_path(spark, sf_dir)
-    cents = qs.load_cents(spark, f"{ivf_root}/cents")
-    books = _load_books(spark, pq_root)
-    if not cents or not any(books):
+    parts = qs._filtered_icand(spark, sf_dir)
+    books = _load_books(spark, pq_index_path(spark, sf_dir))
+    n = parts["n"]
+    if parts["icand"] is None or not any(books):
         return qs._scored_topk(
             n,
             n.select(F.col("vec_id").alias("query_id")).limit(0).select(
                 "query_id", F.col("query_id").alias("neighbor_id")
             ),
         )
-    n_count = qs._nrows(n)  # footer metadata, no scan job (r15)
-    n_labels = qs.rare_label_count(spark, sf_dir)
-    asg = spark.read.parquet(f"{ivf_root}/asg").withColumnRenamed(
-        "vec_id", "neighbor_id"
+    return qs._scored_topk(
+        n, _ivfpq_shortlist_from_icand(spark, sf_dir, parts, books)
     )
-    qq = km.quantize(
-        n.filter(F.col("vec_id") % qs.QMOD == 0).select("vec_id", "v")
-    )
-    probes = qs._nearest_cells(
-        qq, cents, qs.filter_widen(n_labels) * qs.nprobe(n_count)
-    ).withColumnRenamed("vec_id", "query_id")
-    rlab = n.select(
-        "vec_id", (F.col("vec_id") % qs.RARE_MOD).alias("rlabel")
-    )
+
+
+def _ivfpq_shortlist_from_icand(
+    spark: SparkSession, sf_dir: str, parts: dict, books
+) -> DataFrame:
+    """The ADC half of the filtered IVF-PQ serve over a prebuilt
+    ``_filtered_icand`` dict: decode stored codes, rank the eligible
+    candidates by approximate L2, keep the pool-scaled shortlist.
+    Split out (r15) so the fused retrieval pipeline shares ONE icand
+    subplan between its two serves instead of building both serves
+    from scratch."""
+    pq_root = pq_index_path(spark, sf_dir)
     # label prune BEFORE the ADC stage: two skinny (id, label) joins —
     # at scale the label rides the postings table, so no decoded or
     # raw vector is ever read for an ineligible candidate
-    icand = (
-        probes.join(asg, "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-        .join(
-            rlab.select(
-                F.col("vec_id").alias("query_id"),
-                F.col("rlabel").alias("q_label"),
-            ),
-            "query_id",
-        )
-        .join(
-            rlab.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("rlabel").alias("n_label"),
-            ),
-            "neighbor_id",
-        )
-        .filter(F.col("n_label") == F.col("q_label"))
-        .select("query_id", "neighbor_id")
-    )
     recon = _recon_from_codes(spark, pq_root, books)
-    queries = qq.select(
+    queries = parts["qq"].select(
         F.col("vec_id").alias("query_id"), km._qarr().alias("qq")
     )
     shortlist_k = max(
-        IVFPQ_SHORT_MIN, n_count // (IVFPQ_SHORT_DIV * n_labels)
+        IVFPQ_SHORT_MIN,
+        parts["n_count"] // (IVFPQ_SHORT_DIV * parts["n_labels"]),
     )
-    cand = _topk_by(
-        icand.join(recon, "neighbor_id").join(F.broadcast(queries), "query_id"),
+    return _topk_by(
+        parts["icand"]
+        .join(recon, "neighbor_id")
+        .join(F.broadcast(queries), "query_id"),
         _l2("qq", "rv"),
         shortlist_k,
     )
-    return qs._scored_topk(n, cand)
 
 
 @register(
@@ -1387,13 +1366,30 @@ _FUSED_MMR_SQL = (
 def retrieval_filtered_fused_mmr(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    n = qs._vectors(spark, sf_dir)
-    r1 = _filtered_rare_topk_ref(spark, sf_dir).select(
-        "query_id", "neighbor_id", "rank"
-    )
-    r2 = _filtered_ivfpq_topk(spark, sf_dir).select(
-        "query_id", "neighbor_id", "rank"
-    )
+    # ONE shared icand subplan for both serves (r15) — the Spark twin
+    # of the oracle's shared probes/icand CTEs: the rare serve re-ranks
+    # icand directly, the IVF-PQ serve ADC-shortlists the same icand.
+    # Both consumers reference the SAME DataFrame, so the candidate
+    # build (probe widen -> postings join -> distinct -> label prune)
+    # plans once and its exchanges are reused instead of recomputed.
+    parts = qs._filtered_icand(spark, sf_dir)
+    n = parts["n"]
+    books = _load_books(spark, pq_index_path(spark, sf_dir))
+    if parts["icand"] is None or not any(books):
+        empty = qs._scored_topk(
+            n,
+            n.select(F.col("vec_id").alias("query_id")).limit(0).select(
+                "query_id", F.col("query_id").alias("neighbor_id")
+            ),
+        )
+        r1 = r2 = empty.select("query_id", "neighbor_id", "rank")
+    else:
+        r1 = qs._scored_topk(n, parts["icand"]).select(
+            "query_id", "neighbor_id", "rank"
+        )
+        r2 = qs._scored_topk(
+            n, _ivfpq_shortlist_from_icand(spark, sf_dir, parts, books)
+        ).select("query_id", "neighbor_id", "rank")
     allr = r1.unionByName(r2).select(
         "query_id",
         "neighbor_id",
@@ -1420,7 +1416,3 @@ def retrieval_filtered_fused_mmr(
     return qs._mmr_greedy(n, base)
 
 
-def _filtered_rare_topk_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Thin alias so the fused entry reads as its pipeline stages; the
-    serve itself lives with the IVF family in q_similarity."""
-    return qs._filtered_rare_topk(spark, sf_dir)

@@ -2657,22 +2657,28 @@ _RARE_SQL = (
 )
 
 
-def _filtered_rare_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rare-label filtered serve (unwrapped; the recall metric composes
-    it): identical to :func:`_filtered_topk` except the filter is the
-    ~1%-selectivity derived ``vec_id % RARE_MOD`` label and the probe
-    widening is :func:`filter_widen` of the MEASURED distinct label
-    count instead of the base constant."""
+def _filtered_icand(spark: SparkSession, sf_dir: str):
+    """The SHARED front half of both rare-filtered serves — widened
+    probes over the stored index, postings join, rare-label prune —
+    returned as a dict so composing queries build it ONCE.
+
+    The oracle of the fused retrieval pipeline (VERDICT r13 item 1)
+    already shares the probes/icand CTEs between its two serves; the
+    Spark side built them twice through two independent function calls
+    whose per-call Python UDF instances made the subplans
+    non-canonical, so not even exchange reuse could dedup them (r15
+    profile: each serve ~3 s of build+exec, paid 2x by the fused
+    entry).  Returns ``icand=None`` on an empty index (callers keep
+    their empty-result branches).  Keys: n, icand, qq, n_labels,
+    n_count."""
     n = _vectors(spark, sf_dir)
     root = ivf_index_path(spark, sf_dir)
     cents = load_cents(spark, f"{root}/cents")
     if not cents:
-        return _scored_topk(
-            n, n.select(F.col("vec_id").alias("query_id")).limit(0).select(
-                "query_id", F.col("query_id").alias("neighbor_id")
-            )
-        )
+        return {"n": n, "icand": None, "qq": None,
+                "n_labels": 1, "n_count": _nrows(n)}
     n_labels = rare_label_count(spark, sf_dir)
+    n_count = _nrows(n)
     asg = spark.read.parquet(f"{root}/asg").withColumnRenamed(
         "vec_id", "neighbor_id"
     )
@@ -2680,12 +2686,12 @@ def _filtered_rare_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.filter(F.col("vec_id") % QMOD == 0).select("vec_id", "v")
     )
     probes = _nearest_cells(
-        qq, cents, filter_widen(n_labels) * nprobe(_nrows(n))
+        qq, cents, filter_widen(n_labels) * nprobe(n_count)
     ).withColumnRenamed("vec_id", "query_id")
     rlab = n.select(
         "vec_id", (F.col("vec_id") % RARE_MOD).alias("rlabel")
     )
-    cand = (
+    icand = (
         probes.join(asg, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
@@ -2707,7 +2713,25 @@ def _filtered_rare_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_label") == F.col("q_label"))
         .select("query_id", "neighbor_id")
     )
-    return _scored_topk(n, cand)
+    return {"n": n, "icand": icand, "qq": qq,
+            "n_labels": n_labels, "n_count": n_count}
+
+
+def _filtered_rare_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-label filtered serve (unwrapped; the recall metric composes
+    it): identical to :func:`_filtered_topk` except the filter is the
+    ~1%-selectivity derived ``vec_id % RARE_MOD`` label and the probe
+    widening is :func:`filter_widen` of the MEASURED distinct label
+    count instead of the base constant."""
+    parts = _filtered_icand(spark, sf_dir)
+    n = parts["n"]
+    if parts["icand"] is None:
+        return _scored_topk(
+            n, n.select(F.col("vec_id").alias("query_id")).limit(0).select(
+                "query_id", F.col("query_id").alias("neighbor_id")
+            )
+        )
+    return _scored_topk(n, parts["icand"])
 
 
 @register(
