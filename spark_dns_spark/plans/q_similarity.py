@@ -220,16 +220,21 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n
 
 
-def _scored_topk(n: DataFrame, cand: DataFrame) -> DataFrame:
+def _scored_topk(
+    n: DataFrame, cand: DataFrame, strategy: str = "auto"
+) -> DataFrame:
     """Spark mirror of :func:`_scored_topk_sql` — cosine is computed only
-    on candidate pairs; norms come precomputed from ``n``."""
+    on candidate pairs; norms come precomputed from ``n``.
+
+    ``strategy`` passes through to :func:`sim.attach_cosine`: serve
+    shortlists keep the zero-driver-job broadcast join ("auto");
+    pair-heavy candidate sets (brute-force truth sides, wide-filter
+    serves) force the SIMD matrix-gather ("gather") — see the
+    attach_cosine docstring for the measured crossover."""
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    # attach_cosine picks the physical strategy by corpus size: below
-    # the broadcast envelope the vector TABLE ships once per executor
-    # and only the two id columns cross Arrow; above it, a bucketed
-    # pair-join with a codegen dot — both bit-identical folds.
     return (
-        sim.attach_cosine(cand, n, "query_id", "neighbor_id")
+        sim.attach_cosine(cand, n, "query_id", "neighbor_id",
+                          strategy=strategy)
         .withColumn("cosine", F.round(F.col("cosine"), 4))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= K)
@@ -282,7 +287,11 @@ def _bf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = c.join(
         F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
     )
-    return _scored_topk(n, cand)
+    # gather: the |Q|x|C| brute-force stream (~8M pairs at sf0.1) is
+    # the second pair-heaviest attach in the catalog — the SIMD fold
+    # wins (r15 A/B min-of-3: 1.30 s vs 1.83 s end-to-end; also the
+    # faster side inside every recall metric that embeds this truth)
+    return _scored_topk(n, cand, strategy="gather")
 
 
 @register(
@@ -911,11 +920,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # attach_cosine: broadcast-matrix gather inside the envelope (the
-    # candidate pairs are the big side, the vectors are MBs — only the
-    # two id columns cross Arrow), bucketed pair-join beyond it.
+    # strategy="gather": this is the catalog's pair-heaviest attach
+    # (~888k candidate pairs at sf0.1 arriving through the distinct's
+    # AQE-coalesced exchange) — the numpy SIMD fold beats the codegen
+    # per-row dot 5-10x per core on exactly this shape (measured r15:
+    # 1.5-3.4 s vs 10.7-13.3 s; see attach_cosine's docstring).
     return (
-        sim.attach_cosine(cand, n, "id_a", "id_b")
+        sim.attach_cosine(cand, n, "id_a", "id_b", strategy="gather")
         .withColumn("cosine", F.round(F.col("cosine"), 4))
         .filter(F.col("cosine") >= COS_T)
         .select("id_a", "id_b", "cosine")
