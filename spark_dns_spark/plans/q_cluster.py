@@ -858,6 +858,10 @@ def dedup_cluster_label_propagation(
                 F.col("src").alias("doc_id"),
                 (-F.col("m.nl")).alias("label"),
             )
+            # truncate the per-round lineage (the PageRank r15 fix):
+            # each round's broadcast build otherwise re-executes every
+            # previous round's join+aggregate chain as its own job
+            .localCheckpoint()
         )
     sizes = lbl.groupBy("label").agg(
         F.count(F.lit(1)).alias("community_size")

@@ -148,5 +148,16 @@ def graph_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
                 .alias("rank"),
             )
+            # Truncate the lineage each iteration (guide §3.3): the
+            # planner auto-broadcasts the tiny contrib/rank relations,
+            # and each BroadcastExchange build is its own job that
+            # re-executes the WHOLE rank chain so far — profiled at
+            # ~3 s of overlapping lineage re-execution jobs over 3
+            # iterations.  Checkpointing the n-row rank state makes
+            # every iteration's broadcast read n materialized rows
+            # instead of replaying its predecessors.  (Blocks are
+            # released by the harness's release_all_caches, the
+            # iterative-query convention.)
+            .localCheckpoint()
         )
     return ranks.select("node", F.col("rank").alias("rank_e9"))
