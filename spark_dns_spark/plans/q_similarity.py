@@ -619,6 +619,12 @@ def ivf_base_index_path(spark: SparkSession, sf_dir: str) -> str:
         )
         cdf.coalesce(1).write.mode("overwrite").parquet(f"{root}/cents")
         asg.write.mode("overwrite").parquet(f"{root}/asg")
+        # base-corpus size as index metadata (the stats convention of
+        # the main index, r15): the rebalance serve re-measured it
+        # with a count_if scan job on every invocation
+        spark.createDataFrame(
+            [("n_vectors", int(qb.count()))], "key string, value bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{root}/stats")
         qb.unpersist()
 
     from spark_dns_spark.plans.feeds import cached_index_path  # noqa: PLC0415
@@ -1894,6 +1900,15 @@ FILTER_LBASE = 10
 RARE_MOD = 100
 
 
+def index_stat(root: str, key: str, default: int = 0) -> int:
+    """One value from a persisted index's ``stats/`` metadata parquet
+    (pyarrow read — K rows, zero Spark jobs)."""
+    rows = km.read_parquet_dir(f"{root}/stats", ["key", "value"]).to_pylist()
+    return next(
+        (int(r["value"]) for r in rows if r["key"] == key), default
+    )
+
+
 def rare_label_count(spark: SparkSession, sf_dir: str) -> int:
     """Distinct rare-label (``vec_id % RARE_MOD``) cardinality from the
     persisted IVF index's ``stats/`` metadata (written at build time —
@@ -1901,11 +1916,7 @@ def rare_label_count(spark: SparkSession, sf_dir: str) -> int:
     the per-invocation ``distinct().count()`` job both filtered serves
     used to run (r15).  Clamped to >= 1 like the previous call sites."""
     root = ivf_index_path(spark, sf_dir)
-    rows = km.read_parquet_dir(f"{root}/stats", ["key", "value"]).to_pylist()
-    nlab = next(
-        (int(r["value"]) for r in rows if r["key"] == "n_rare_labels"), 0
-    )
-    return max(nlab, 1)
+    return max(index_stat(root, "n_rare_labels"), 1)
 
 
 def filter_widen(n_labels: int) -> int:
@@ -2233,7 +2244,8 @@ LEFT JOIN st0 b ON b.vec_id = s.vec_id AND b.cell = s.cell
 )
 
 
-def _split_to_fixpoint(spark, q, cents, st, cap, rounds_max=None):
+def _split_to_fixpoint(spark, q, cents, st, cap, rounds_max=None,
+                       total=None):
     """Iterate spill->demote rounds until no cell exceeds ``cap``.
 
     ``st`` is the postings table (vec_id, cell, d2); ``q`` the quantized
@@ -2249,7 +2261,12 @@ def _split_to_fixpoint(spark, q, cents, st, cap, rounds_max=None):
     not a big corpus."""
     if rounds_max is None:
         rounds_max = SPLIT_ROUNDS_MAX
-    total = st.count()
+    if total is None:
+        # callers that know the posting count from index metadata pass
+        # it in (r15); the count job remains the fallback for foreign
+        # state.  The conservation check below still counts every
+        # round's OUTPUT — only the redundant input count is skipped.
+        total = st.count()
     hw = None  # (vec_id, hw) for vectors that have ever spilled
     # Eager localCheckpoint, not persist: each round's state references
     # the previous round's ~3 times (kept + spill + spill counts), so
@@ -2386,7 +2403,10 @@ def similarity_ivf_cell_split_fixpoint(
     )
     st0 = spark.read.parquet(f"{root}/asg").select("vec_id", "cell", "d2")
     q = km.quantize(n.select("vec_id", "v"))
-    fin, _rounds = _split_to_fixpoint(spark, q, cents, st0, cap)
+    fin, _rounds = _split_to_fixpoint(
+        spark, q, cents, st0, cap,
+        total=km.parquet_dir_rows(f"{root}/asg"),  # footers, no job
+    )
     orig = st0.select("vec_id", "cell", F.lit(1).alias("_orig"))
     return fin.join(orig, ["vec_id", "cell"], "left").select(
         "vec_id",
@@ -2484,15 +2504,11 @@ def similarity_ivf_upsert_rebalance(
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    # n_all from footer metadata; base_n needs the %-filter, but ONE
-    # aggregate job instead of two full-scan count() jobs (guide §1.2:
-    # don't compute things twice — both counts scanned embeddings).
+    # n_all from the embeddings parquet footers; base_n from the base
+    # index's persisted stats (written at build time, r15) — zero scan
+    # jobs where there were two full-corpus count jobs.
     n_all = corpus_rows(sf_dir)
-    base_n = int(
-        e.agg(
-            F.count_if((F.col("vec_id") % UP_MOD) != UP_REM).alias("c")
-        ).first()["c"]
-    )
+    base_n = index_stat(root, "n_vectors")
     kc = ivf_kc(base_n)  # cells are the BASE model's — unchanged by upsert
     cap = (CAP_NUM * IVF_ASSIGN * n_all + CAP_DEN * kc - 1) // (
         CAP_DEN * kc
@@ -2506,7 +2522,20 @@ def similarity_ivf_upsert_rebalance(
     )
     st0 = base.unionByName(dasg)
     q = km.quantize(e.select("vec_id", "v"))
-    fin, _rounds = _split_to_fixpoint(spark, q, cents, st0, cap)
+    # postings count without a job: stored base postings (parquet
+    # footers) + the delta batch's assignments — _nearest_cells emits
+    # exactly min(IVF_ASSIGN, KC) cells per vector (KC >> IVF_ASSIGN
+    # on the sharded-cents path, where cents is a parquet path)
+    per_vec = (
+        IVF_ASSIGN if isinstance(cents, str)
+        else min(IVF_ASSIGN, len(cents))
+    )
+    total0 = (
+        km.parquet_dir_rows(f"{root}/asg") + (n_all - base_n) * per_vec
+    )
+    fin, _rounds = _split_to_fixpoint(
+        spark, q, cents, st0, cap, total=total0
+    )
     sizes = fin.groupBy("cell").agg(F.count(F.lit(1)).alias("sz"))
     ranked = sizes.withColumn(
         "rn", F.row_number().over(Window.orderBy("sz", "cell"))
