@@ -252,16 +252,25 @@ def main() -> None:
             release_all_caches(spark)
 
     sf = float(Path(sf_dir).name.replace("sf", "") or 0)
-    # Full per-query detail goes to a FILE: the driver keeps only a
-    # ~2,000-char tail of stdout, and the r6 final line (~2.6 KB with
-    # 50 queries x 2 splits) overflowed it — BENCH_r06.json recorded
-    # "parsed": null and the round's perf numbers survived only in
-    # prose (VERDICT r6 item 1).  The final stdout line below is a
-    # compact summary (<1.5 KB) the driver can always parse.
+    # Full per-query detail goes to a FILE: the driver keeps EXACTLY a
+    # 2,000-char tail of stdout (measured: every BENCH_rN.json tail is
+    # len 2000) and parses the final JSON line from that tail — the r6
+    # final line (~2.6 KB with 50 queries x 2 splits) overflowed it and
+    # BENCH_r06.json recorded "parsed": null (the line survives in the
+    # tail cut mid-JSON).  A 108-query map is ~3.5 KB of names alone,
+    # so the per-query contract (VERDICT r15 item 2) is carried by
+    # DURABLE detail files instead: BENCH_DETAIL.json (latest run,
+    # back-compat) plus BENCH_DETAIL_c{cpus}.json per core count, so a
+    # later lower-core driver run can no longer overwrite the 32-core
+    # per-query map (the r15 failure mode).  The final stdout line
+    # below stays a compact summary (<1.5 KB) the driver can always
+    # parse.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "").strip() or "default"
     detail = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "cpus": cpus,
         "queries": timings,
         "count_only": count_only,
         "sf": sf,
@@ -272,8 +281,11 @@ def main() -> None:
         detail["skipped"] = skipped
     if errors:
         detail["errors"] = errors
-    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
-    detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+    here = Path(__file__).resolve().parent
+    payload = json.dumps(detail, indent=1) + "\n"
+    (here / "BENCH_DETAIL.json").write_text(payload)
+    (here / f"BENCH_DETAIL_c{cpus}.json").write_text(payload)
+    detail_path = here / "BENCH_DETAIL.json"
 
     # Cross-round totals compare per-prefix (BASELINE.md): the headline
     # list only ever APPENDS, so position-prefix sums are stable
@@ -304,6 +316,7 @@ def main() -> None:
         "value": detail["value"],
         "unit": "sec",
         "sf": sf,
+        "cpus": cpus,
         "n_queries": len(timings),
         "prefix_sums": {str(b): prefix_sum(timings, b) for b in bounds},
         "prefix_sums_count_only": {
@@ -346,7 +359,7 @@ def _warm_ann_indexes(spark, sf_dir, qs) -> dict:
     ``ann_warm_sec`` so the cold-build cost stays visible instead of
     silently vanishing."""
     t0 = time.monotonic()
-    warmed = []
+    warmed: dict[str, float] = {}
     for name in HEADLINE:
         if not name.startswith(ANN_WARM_PREFIXES):
             continue
@@ -354,8 +367,14 @@ def _warm_ann_indexes(spark, sf_dir, qs) -> dict:
         if fn is None:
             continue
         try:
+            tq = time.monotonic()
             fn(spark, sf_dir).select(F.count(F.lit(1))).collect()
-            warmed.append(name)
+            # per-query warm seconds (VERDICT r15 item 2): a query's
+            # FIRST warm pass after checkout pays its cold index
+            # builds, so a build regression now moves a visible
+            # number (in BENCH_DETAIL*.json) instead of vanishing
+            # into the untimed total.
+            warmed[name] = round(time.monotonic() - tq, 3)
         except Exception as exc:  # noqa: BLE001
             # the timing loop reports per-query errors properly; the
             # warm pass must never kill the bench
@@ -364,6 +383,7 @@ def _warm_ann_indexes(spark, sf_dir, qs) -> dict:
     return {
         "sec": round(time.monotonic() - t0, 3),
         "n_queries": len(warmed),
+        "per_query_sec": warmed,
     }
 
 

@@ -374,7 +374,10 @@ MAX_BROADCAST_VECTORS = int(os.environ.get("SPARK_DNS_MAX_BROADCAST_VECTORS", "2
 
 #: Force one attach_cosine strategy process-wide ("gather" / "join") —
 #: an A/B measurement knob for bench and tests; empty = per-call-site.
-_ATTACH_FORCE = os.environ.get("SPARK_DNS_ATTACH_FORCE", "")
+#: Read PER CALL inside attach_cosine (ADVICE r15: an import-time read
+#: silently ignored env changes made after import, unlike the other
+#: runtime overrides); the per-call getenv is one dict lookup.
+_ATTACH_FORCE_VAR = "SPARK_DNS_ATTACH_FORCE"
 
 
 def attach_cosine(
@@ -428,8 +431,9 @@ def attach_cosine(
     """
     if max_broadcast_rows is None:
         max_broadcast_rows = MAX_BROADCAST_VECTORS
-    if _ATTACH_FORCE:
-        strategy = _ATTACH_FORCE  # A/B override (bench/tests only)
+    force = os.environ.get(_ATTACH_FORCE_VAR, "")
+    if force:
+        strategy = force  # A/B override (bench/tests only)
     n_rows = getattr(n_df, "_corpus_rows", None)
     if n_rows is None:
         n_rows = n_df.count()

@@ -756,11 +756,15 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: graph the local majority stabilizes in 2-3 rounds.
 LPA_ITERS = 3
 
-#: Broadcast envelope for the per-round label state (doc_id, label):
-#: 16 bytes/row, 4M nodes ~ 64 MB framed — the attach_cosine /
-#: PageRank envelope.  Env-overridable to force the keyed-join path.
+#: Broadcast envelope for the per-round label state (doc_id, label).
+#: Sized by what an explicit ``F.broadcast`` actually costs, not the
+#: 16 B/row framing estimate: the JVM builds a HashedRelation at
+#: ~50-100 B/row which is rebuilt EVERY round and bypasses
+#: autoBroadcastJoinThreshold, so 1M rows ~ 50-100 MB per round is the
+#: honest comfort zone on an 8 g local heap (ADVICE r15).
+#: Env-overridable to force either path.
 LPA_BCAST_MAX = int(
-    os.environ.get("SPARK_DNS_LPA_BCAST_MAX", "4000000")
+    os.environ.get("SPARK_DNS_LPA_BCAST_MAX", "1000000")
 )
 
 

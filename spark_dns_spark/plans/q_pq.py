@@ -571,8 +571,10 @@ def similarity_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _quantized(spark, sf_dir).persist()
     recon = _recon_from_codes(spark, root, books)
     # Bounded recall sample (see ADC_QBUDGET): identical integer
-    # modulus formula as the oracle's qn CTE.
-    nq = q.count()
+    # modulus formula as the oracle's qn CTE.  The count comes from
+    # parquet footers (guide §5) — _quantized is a 1:1 map of
+    # embeddings, so the footer row count IS the frame count.
+    nq = qs.corpus_rows(sf_dir)
     qmod = ADC_QMOD * max(1, nq // (ADC_QMOD * ADC_QBUDGET))
     queries = q.filter(F.col("vec_id") % qmod == 0).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
@@ -728,7 +730,12 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qq = km.quantize(
         n.filter(F.col("vec_id") % qs.QMOD == 0).select("vec_id", "v")
     )
-    probes = qs._nearest_cells(qq, cents, qs.nprobe(n.count())).withColumnRenamed(
+    # footer-metadata row count (qs._nrows), not a count() job: the
+    # composed serve paid TWO full-scan driver jobs per invocation
+    # (nprobe + shortlist sizing) that every other serve already reads
+    # from the _corpus_rows attribute (guide §5, the r15 pattern)
+    nv = qs._nrows(n)
+    probes = qs._nearest_cells(qq, cents, qs.nprobe(nv)).withColumnRenamed(
         "vec_id", "query_id"
     )
     icand = (
@@ -745,7 +752,7 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = qq.select(
         F.col("vec_id").alias("query_id"), km._qarr().alias("qq")
     )
-    shortlist_k = max(IVFPQ_SHORT_MIN, n.count() // IVFPQ_SHORT_DIV)
+    shortlist_k = max(IVFPQ_SHORT_MIN, nv // IVFPQ_SHORT_DIV)
     cand = _topk_by(
         icand.join(recon, "neighbor_id").join(F.broadcast(queries), "query_id"),
         _l2("qq", "rv"),

@@ -188,14 +188,36 @@ def _scored_topk_sql(cand_cte: str) -> str:
 _VECTORS_MEMO: dict = {}
 
 
-def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = os.path.join(sf_dir, "embeddings.parquet")
+def _embeddings_fingerprint(path: str) -> tuple:
+    """Change-detection key for the embeddings input (ADVICE r15): the
+    top-level mtime alone misses a part file overwritten IN PLACE inside
+    a directory (the dir mtime only changes on create/delete), so fold
+    every part file's (name, mtime, size) into the key.  One listdir —
+    no Spark jobs, same class as the footer-metadata reads."""
     try:
-        mtime = os.stat(path).st_mtime_ns
+        st = os.stat(path)
     except OSError:
-        mtime = 0
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), mtime)
-    memo = _VECTORS_MEMO.get(key)
+        return (0,)
+    if not os.path.isdir(path):
+        return (st.st_mtime_ns, st.st_size)
+    parts = []
+    for f in sorted(os.listdir(path)):
+        try:
+            s = os.stat(os.path.join(path, f))
+        except OSError:
+            continue
+        parts.append((f, s.st_mtime_ns, s.st_size))
+    return tuple(parts)
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_dns_spark.plans.feeds import _INDEX_LOCK  # noqa: PLC0415
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    scope = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = scope + (_embeddings_fingerprint(path),)
+    with _INDEX_LOCK:
+        memo = _VECTORS_MEMO.get(key)
     if memo is not None:
         # re-register with the cache manager (idempotent while cached;
         # required after release_all_caches cleared the entry)
@@ -216,7 +238,13 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is a 1:1 map of embeddings, so the file count IS the frame count
     # — downstream nprobe/envelope decisions read it without a job.
     n._corpus_rows = corpus_rows(sf_dir)
-    _VECTORS_MEMO[key] = n
+    with _INDEX_LOCK:
+        # bounded memo (ADVICE r15): a regenerated corpus must not
+        # leave the stale frame pinned for the process lifetime —
+        # evict every prior entry of this (application, sf_dir) scope.
+        for k in [k for k in _VECTORS_MEMO if k[:2] == scope]:
+            del _VECTORS_MEMO[k]
+        _VECTORS_MEMO[key] = n
     return n
 
 
@@ -2332,7 +2360,12 @@ def _split_to_fixpoint(spark, q, cents, st, cap, rounds_max=None,
         if n_new != total:  # not assert: stripped under -O (ADVICE r11)
             raise RuntimeError(
                 f"posting conservation broken in round {rnd}: {n_new} != "
-                f"{total} — a demote slot exceeded SPLIT_EXT_DEPTH"
+                f"{total} — either a demote slot exceeded SPLIT_EXT_DEPTH, "
+                "or the caller's arithmetic `total` no longer matches the "
+                "input (rebalance derives it as stored-base footer rows + "
+                "delta_count * min(IVF_ASSIGN, KC), which assumes "
+                "_nearest_cells emits EXACTLY that many cells per vector "
+                "— pinned by tests/test_r16_opt.py)"
             )
         cnts = sp.groupBy("vec_id").agg(F.count(F.lit(1)).alias("ns"))
         hw_new = hwj.join(cnts, "vec_id").select(
