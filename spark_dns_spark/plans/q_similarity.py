@@ -1682,6 +1682,18 @@ def _range_pairs(
     # pushes the post-join stage out of whole-stage codegen, while the
     # single interpreted fold stays cheap relative to the join)
     if strategy == "shuffle":
+        # Pin the dedup exchange's post-shuffle side to full shuffle
+        # parallelism (r16): the stage after it evaluates the
+        # interpreted d2 fold on EVERY candidate pair — compute-heavy
+        # but byte-light, so AQE's byte-based coalescing collapsed it
+        # to ~10 of 32 tasks (profiled 2.25 s in one 10-task stage at
+        # sf0.1; the exact failure mode the r15 BM25 probe pinned).  A
+        # user repartition(N, cols) has shuffle origin
+        # REPARTITION_BY_NUM, which AQE's coalesce rule is defined to
+        # skip, and HashPartitioning(id_a, id_b) satisfies the
+        # distinct's clustering requirement, so this REPLACES the
+        # ENSURE_REQUIREMENTS exchange instead of adding one.
+        npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         cand = (
             probes.join(asg, "cell")
             .filter(F.col("vec_id") != F.col("nb"))
@@ -1689,6 +1701,7 @@ def _range_pairs(
                 F.least("vec_id", "nb").alias("id_a"),
                 F.greatest("vec_id", "nb").alias("id_b"),
             )
+            .repartition(npart, "id_a", "id_b")
             .distinct()
         )
         qa = q.select(F.col("vec_id").alias("id_a"), km._qarr().alias("qa"))
@@ -1803,17 +1816,30 @@ def similarity_range_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     pairs = _range_pairs(spark, sf_dir).select("id_a", "id_b")
+    # Both pair directions from ONE scan of the serve subplan (r16):
+    # the previous unionByName referenced `pairs` twice, so the plan
+    # carried TWO copies of the whole range-serve subtree and executed
+    # the probe/join/dedup chain twice per recall run.  The lateral
+    # explode emits (a→b) and (b→a) from a single pass — the exact
+    # single-reference trick the oracle text already uses for its
+    # `served` CTE (where the double reference OOMed DuckDB's sf1
+    # gate).  Same rows, same types.
     served = (
         pairs.select(
-            F.col("id_a").alias("query_id"),
-            F.col("id_b").alias("neighbor_id"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("query_id"),
+                        F.col("id_b").alias("neighbor_id"),
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("query_id"),
+                        F.col("id_a").alias("neighbor_id"),
+                    ),
+                )
+            ).alias("p")
         )
-        .unionByName(
-            pairs.select(
-                F.col("id_b").alias("query_id"),
-                F.col("id_a").alias("neighbor_id"),
-            )
-        )
+        .select("p.query_id", "p.neighbor_id")
         .withColumn("hit", F.lit(1))
     )
     return (
