@@ -738,10 +738,21 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = qs._nearest_cells(qq, cents, qs.nprobe(nv)).withColumnRenamed(
         "vec_id", "query_id"
     )
+    # Pin the candidate-dedup exchange's post-shuffle side to full
+    # shuffle parallelism (r16, the range-serve fix): the stage after
+    # it decodes PQ codes and evaluates the interpreted L2 fold on
+    # every candidate — compute-heavy, byte-light, so AQE's byte-based
+    # coalescing collapsed it to a single task (profiled two ~0.5 s
+    # 1-task stages per recall run).  REPARTITION_BY_NUM is exempt
+    # from the coalesce rule and satisfies the distinct's clustering
+    # requirement (no extra exchange).
     icand = (
-        probes.join(asg, "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
+        qs._pin(
+            probes.join(asg, "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id"),
+            "query_id", "neighbor_id",
+        )
         .distinct()
     )
     # ADC stage: decode survivors from their stored codes (map-only),

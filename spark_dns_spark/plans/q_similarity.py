@@ -93,6 +93,26 @@ def _nrows(n: DataFrame) -> int:
     return cached if cached is not None else n.count()
 
 
+def _pin_npart(spark: SparkSession) -> int:
+    """Partition count for the candidate-dedup REPARTITION_BY_NUM pins
+    (r16): the stage after an IVF candidate dedup evaluates interpreted
+    /unrolled distance folds per pair — compute-heavy, byte-light — and
+    AQE's byte-based coalescing collapses it to 1-10 of 32 tasks (the
+    r15 BM25 failure mode).  Scale-aware: the pin follows
+    spark.sql.shuffle.partitions, so on a cluster it is whatever the
+    submit conf says, and 0 (via SPARK_DNS_CAND_PIN=0) disables every
+    pin — the in-process A/B knob."""
+    if os.environ.get("SPARK_DNS_CAND_PIN", "") == "0":
+        return 0
+    return int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+
+def _pin(df: DataFrame, *cols: str) -> DataFrame:
+    """Apply the candidate-dedup parallelism pin (no-op when disabled)."""
+    npart = _pin_npart(df.sparkSession)
+    return df.repartition(npart, *cols) if npart else df
+
+
 #: Shared DuckDB CTE: float[] -> double[] plus precomputed norm.
 _BASE_CTE = f"""
 WITH e AS (
@@ -347,6 +367,14 @@ def _lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             sim.band_keys_arrow(F.col("v"), planes, rpb)
         ).alias("band_key"),
     ).persist()
+    # NO parallelism pin here (r16 negative result, measured both
+    # ways): a band pair repeats once per shared band, so a
+    # PRE-distinct repartition shuffles every duplicate (hybrid_rrf
+    # 11 s vs 3.4 s — the map-side partial dedup is load-bearing), and
+    # a POST-distinct repartition's extra exchange still measured
+    # 20-40% slower than letting AQE coalesce (topk_lsh interleaved
+    # A/B: {3.2, 4.0} pinned vs {3.3, 2.4} unpinned) — the gather
+    # kernel is memory-bandwidth-bound, so extra tasks buy nothing.
     cand = (
         sx.filter(F.col("vec_id") % QMOD == 0)
         .select(F.col("vec_id").alias("query_id"), "band_key")
@@ -870,11 +898,18 @@ def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "query_id"
     )
     # a (query, neighbor) pair can meet in up to IVF_ASSIGN shared
-    # cells — dedup before the exact re-rank (both engines).
+    # cells — dedup before the exact re-rank (both engines).  The
+    # dedup exchange is pinned REPARTITION_BY_NUM (r16, the range-serve
+    # fix): the post-shuffle stage evaluates the unrolled cosine dot on
+    # every candidate — compute-heavy, byte-light, which AQE's
+    # byte-based coalescing otherwise collapses to 1-2 tasks.
     cand = (
-        probes.join(asg, "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
+        _pin(
+            probes.join(asg, "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id"),
+            "query_id", "neighbor_id",
+        )
         .distinct()
     )
     return _scored_topk(n, cand)
@@ -942,6 +977,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             sim.band_keys_arrow(F.col("v"), planes, rpb)
         ).alias("band_key"),
     ).persist()
+    # NO parallelism pin here (r16 negative result — see _lsh_topk):
+    # pre-distinct pinning shuffles every per-band duplicate, and the
+    # post-distinct extra exchange measured 20-40% slower than the
+    # AQE-coalesced shape (interleaved A/B {2.9, 3.2} pinned vs
+    # {2.7, 2.2} unpinned) — the gather kernel is memory-bandwidth-
+    # bound, so spreading it over more tasks buys nothing.
     cand = (
         sx.alias("a")
         .join(
@@ -1693,15 +1734,16 @@ def _range_pairs(
         # skip, and HashPartitioning(id_a, id_b) satisfies the
         # distinct's clustering requirement, so this REPLACES the
         # ENSURE_REQUIREMENTS exchange instead of adding one.
-        npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         cand = (
-            probes.join(asg, "cell")
-            .filter(F.col("vec_id") != F.col("nb"))
-            .select(
-                F.least("vec_id", "nb").alias("id_a"),
-                F.greatest("vec_id", "nb").alias("id_b"),
+            _pin(
+                probes.join(asg, "cell")
+                .filter(F.col("vec_id") != F.col("nb"))
+                .select(
+                    F.least("vec_id", "nb").alias("id_a"),
+                    F.greatest("vec_id", "nb").alias("id_b"),
+                ),
+                "id_a", "id_b",
             )
-            .repartition(npart, "id_a", "id_b")
             .distinct()
         )
         qa = q.select(F.col("vec_id").alias("id_a"), km._qarr().alias("qa"))
@@ -2790,6 +2832,13 @@ def _filtered_icand(spark: SparkSession, sf_dir: str):
     rlab = n.select(
         "vec_id", (F.col("vec_id") % RARE_MOD).alias("rlabel")
     )
+    # NO parallelism pin here (r16 negative result, in-process knob
+    # A/B over all four filtered serves/recalls: pinned 2.03-2.86 s vs
+    # unpinned 1.84-2.52 s): the WIDENED probes (filter_widen x nprobe)
+    # raise the candidate duplicate factor, so the distinct's map-side
+    # partial aggregate below an AQE-coalesced exchange beats shuffling
+    # every duplicate through a pinned one — the same reason the LSH
+    # band joins stay unpinned, unlike the plain-nprobe IVF serves.
     icand = (
         probes.join(asg, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))

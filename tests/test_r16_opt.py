@@ -72,3 +72,18 @@ def test_nearest_cells_meta_slots_are_dense(spark, tiny_q):
         assert [s[0] for s in slots] == [1, 2, 3, 4]
         d2s = [s[1] for s in slots]
         assert d2s == sorted(d2s)
+
+
+def test_cand_pin_knob(spark, monkeypatch):
+    # the r16 candidate-dedup parallelism pin: REPARTITION_BY_NUM when
+    # enabled (AQE's coalesce rule skips it), a no-op under
+    # SPARK_DNS_CAND_PIN=0 (the in-process A/B knob)
+    from spark_dns_spark.plans import q_similarity as qsim
+
+    df = spark.range(100).selectExpr("id as a", "id as b")
+    monkeypatch.delenv("SPARK_DNS_CAND_PIN", raising=False)
+    pinned = qsim._pin(df, "a", "b")
+    plan = pinned._jdf.queryExecution().toString()
+    assert "REPARTITION_BY_NUM" in plan
+    monkeypatch.setenv("SPARK_DNS_CAND_PIN", "0")
+    assert qsim._pin(df, "a", "b") is df
