@@ -1390,6 +1390,11 @@ def retrieval_filtered_fused_mmr(
     # Both consumers reference the SAME DataFrame, so the candidate
     # build (probe widen -> postings join -> distinct -> label prune)
     # plans once and its exchanges are reused instead of recomputed.
+    # r16 negative result (measured, reverted): an eager localCheckpoint
+    # of the shared icand did NOT help (interleaved A/B {5.17, 4.86} s
+    # checkpointed vs {4.73, 4.81} s not) — exchange reuse already
+    # dedups the icand chain between the two serve branches, so the
+    # checkpoint only added its own blocking job.
     parts = qs._filtered_icand(spark, sf_dir)
     n = parts["n"]
     books = _load_books(spark, pq_index_path(spark, sf_dir))
