@@ -848,10 +848,16 @@ def similarity_ivf_delete_serve(
     probes = _nearest_cells(qq, cents, nprobe(_nrows(n))).withColumnRenamed(
         "vec_id", "query_id"
     )
+    # plain-nprobe candidate stream (dup factor <= IVF_ASSIGN): pinned
+    # like _ivf_topk (r16) — the post-dedup stage computes the unrolled
+    # cosine per candidate.
     cand = (
-        probes.join(asg, "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
+        _pin(
+            probes.join(asg, "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id"),
+            "query_id", "neighbor_id",
+        )
         .distinct()
     )
     return _scored_topk(n, cand)
@@ -3432,10 +3438,15 @@ def similarity_upsert_serve_fresh(
     probes = _nearest_cells(qq, cents, nprobe(_nrows(n))).withColumnRenamed(
         "vec_id", "query_id"
     )
+    # plain-nprobe candidate stream (dup factor <= IVF_ASSIGN): pinned
+    # like _ivf_topk (r16).
     cand = (
-        probes.join(merged, "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
+        _pin(
+            probes.join(merged, "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id"),
+            "query_id", "neighbor_id",
+        )
         .distinct()
     )
     return _scored_topk(n, cand).select(
